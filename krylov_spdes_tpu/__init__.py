@@ -1,0 +1,11 @@
+"""TPU-native Krylov/SPDE framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the Julia
+research codebase `venkovic/julia-phd-krylov-spdes` (see SURVEY.md): sequences
+of sampled stochastic elliptic PDEs solved with recycling Krylov methods and
+Schur-complement domain decomposition, built TPU-first.
+"""
+
+from . import config as _config  # noqa: F401
+
+__version__ = "0.1.0"

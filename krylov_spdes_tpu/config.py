@@ -1,0 +1,45 @@
+"""Global configuration for the TPU-native Krylov/SPDE framework.
+
+The reference (Julia) hard-codes its tolerances as module constants
+(/root/reference/RecyclingKrylovSolvers/RecyclingKrylovSolvers.jl:21 `const eps = 1e-7`,
+cg.jl:33-35). Here they live in one config object so parity runs can match them
+exactly while performance runs may relax them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class Config:
+    # Outer Krylov relative tolerance: ||r|| <= rtol * ||b||
+    # (reference: RecyclingKrylovSolvers.jl:21)
+    rtol: float = 1e-7
+    # Inner CG tolerance used inside matrix-free Schur applies
+    # (reference: EllipticPdeDomainDecomposition.jl:634)
+    schur_inner_rtol: float = 1e-9
+    # Inner CG tolerance used when preparing Neumann-Neumann pseudo-inverses
+    # (reference: EllipticPdeDomainDecomposition.jl:1168)
+    nn_prep_rtol: float = 1e-15
+    # Default floating dtype for device compute. Parity tests force float64
+    # (jax_enable_x64 on CPU); TPU perf runs use float32.
+    dtype: jnp.dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    # Integer dtype for index arrays.
+    itype: jnp.dtype = jnp.int32
+
+
+config = Config()
+
+
+def default_dtype():
+    """Float dtype honoring the current jax x64 mode."""
+    return jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+
+
+def on_tpu() -> bool:
+    return jax.default_backend() == "tpu"

@@ -1,0 +1,189 @@
+"""P1 FEM assembly with fixed symbolic structure and on-device value refill.
+
+TPU-native redesign of the reference's element-loop assembly
+(/root/reference/Fem/EllipticPde.jl:60-466):
+
+- The reference pushes COO triplets per element and calls `sparse(I,J,V)`
+  per realization, plus a "fast" variant that refills values of an existing
+  CSC matrix in a scalar loop (`update_isotropic_elliptic_assembly!`,
+  EllipticPde.jl:291-350).
+- Here, ALL mesh-dependent quantities (shoelace geometry, local stiffness
+  geometry factors, scatter slots, Dirichlet RHS corrections, fixed source
+  term) are precomputed once host-side into an `AssemblyPlan`. The
+  per-realization path is a single jitted function of the nodal coefficient
+  vector: gather + elementwise + two sorted segment-sums. No host round trips,
+  no dynamic shapes — ideal for `lax.scan`-ing over MCMC samples.
+
+Weak form: A[i,j] = ∫ a ∇φi·∇φj, with a interpolated at nodes and averaged
+per element (EllipticPde.jl:209-214); b[i] = ∫ f φi via the exact P1 rule
+(2f_i + f_j + f_k)·Area/12 plus the Dirichlet lift -u_exact(x_i)·K_ij
+(EllipticPde.jl:249-251).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sparse import SparseOp, build_sparse_op
+from .bc import DirichletMaps
+from .mesh import element_geometry
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["cells", "kgeo", "slot_a", "perm_a", "b_fixed",
+                      "bcorr_factor", "bcorr_slot", "elem_of_contrib"],
+         meta_fields=["n_free", "nnz", "n_bcorr"])
+@dataclasses.dataclass
+class AssemblyPlan:
+    """Precomputed scatter plan for stiffness + RHS assembly on free dofs.
+
+    cells:        (nel, 3)    node ids (device)
+    kgeo:         (n_a,)      geometry factor of each kept A-contribution,
+                              ordered by `perm_a` (sorted by slot)
+    slot_a:       (n_a,)      sorted canonical nnz slot per A-contribution
+    perm_a:       (n_a,)      element id of each A-contribution (post-sort)
+    b_fixed:      (n_free,)   source term ∫ f φi (mesh-fixed)
+    bcorr_factor: (n_bc,)     -u_exact(x_i) * kgeo for Dirichlet-lift entries
+    bcorr_slot:   (n_bc,)     sorted free-dof slot of each lift entry
+    elem_of_contrib: (n_bc,)  element id of each lift entry
+    """
+    cells: jnp.ndarray
+    kgeo: jnp.ndarray
+    slot_a: jnp.ndarray
+    perm_a: jnp.ndarray
+    b_fixed: jnp.ndarray
+    bcorr_factor: jnp.ndarray
+    bcorr_slot: jnp.ndarray
+    elem_of_contrib: jnp.ndarray
+    n_free: int
+    nnz: int
+    n_bcorr: int
+
+
+@dataclasses.dataclass
+class EllipticAssembly:
+    """Bundle of the symbolic operator and its refill plan."""
+    op: SparseOp          # stiffness on free dofs, CSR/ELL symbolic structure
+    plan: AssemblyPlan
+    maps: DirichletMaps
+
+
+def prepare_elliptic_assembly(cells: np.ndarray, points: np.ndarray,
+                              maps: DirichletMaps, f, u_exact,
+                              dtype=None) -> EllipticAssembly:
+    """Host-side symbolic setup. f, u_exact: vectorized (x, y) -> value."""
+    dtype = dtype or (jnp.float64 if jax.config.read("jax_enable_x64")
+                      else jnp.float32)
+    nel = cells.shape[0]
+    dx, dy, area = element_geometry(cells, points)
+
+    # Local geometry factors: K_ij^e = (dy_i dy_j + dx_i dx_j) / (4 area_e).
+    # (The coefficient multiplies in on device.)
+    kg = (dy[:, :, None] * dy[:, None, :] + dx[:, :, None] * dx[:, None, :]) \
+        / (4.0 * area[:, None, None])                       # (nel, 3, 3)
+
+    gi = cells[:, :, None].repeat(3, axis=2)                # global row node
+    gj = cells[:, None, :].repeat(3, axis=1)                # global col node
+    free_i = maps.free_g2l[gi]                              # (nel,3,3), -1 if dir
+    free_j = maps.free_g2l[gj]
+    both_free = (free_i >= 0) & (free_j >= 0)
+    lift = (free_i < 0) & (free_j >= 0)                     # i Dirichlet, j free
+    eids = np.broadcast_to(np.arange(nel)[:, None, None], gi.shape)
+
+    # --- A contributions (both free) -------------------------------------
+    rows_a = free_i[both_free]
+    cols_a = free_j[both_free]
+    kg_a = kg[both_free]
+    e_a = eids[both_free]
+    op, slot = build_sparse_op(rows_a, cols_a, maps.n_free, maps.n_free,
+                               dtype=dtype)
+    order = np.argsort(slot, kind="stable")
+    slot_a = slot[order]
+    kg_a = kg_a[order]
+    e_a = e_a[order]
+
+    # --- Dirichlet lift: b[fj] -= u_exact(x_i, y_i) * coeff_e * kgeo ------
+    gi_l = gi[lift]
+    fj_l = free_j[lift]
+    kg_l = kg[lift]
+    e_l = eids[lift]
+    u_dir = u_exact(points[gi_l, 0], points[gi_l, 1])
+    bfac = -u_dir * kg_l
+    order_b = np.argsort(fj_l, kind="stable")
+    fj_l, bfac, e_l = fj_l[order_b], bfac[order_b], e_l[order_b]
+
+    # --- fixed source term: b[fi] += (2 f_i + f_j + f_k) * area/12 --------
+    fvals = f(points[:, 0], points[:, 1])[cells]            # (nel, 3)
+    fsum = fvals.sum(axis=1, keepdims=True)
+    contrib = (fvals + fsum) * area[:, None] / 12.0         # 2f_i+f_j+f_k
+    b_fixed = np.zeros(maps.n_free, dtype=np.float64)
+    fi_all = maps.free_g2l[cells]
+    sel = fi_all >= 0
+    np.add.at(b_fixed, fi_all[sel], contrib[sel])
+
+    plan = AssemblyPlan(
+        cells=jnp.asarray(cells),
+        kgeo=jnp.asarray(kg_a, dtype=dtype),
+        slot_a=jnp.asarray(slot_a),
+        perm_a=jnp.asarray(e_a.astype(np.int32)),
+        b_fixed=jnp.asarray(b_fixed, dtype=dtype),
+        bcorr_factor=jnp.asarray(bfac, dtype=dtype),
+        bcorr_slot=jnp.asarray(fj_l.astype(np.int32)),
+        elem_of_contrib=jnp.asarray(e_l.astype(np.int32)),
+        n_free=maps.n_free,
+        nnz=op.nnz,
+        n_bcorr=int(fj_l.shape[0]),
+    )
+    return EllipticAssembly(op=op, plan=plan, maps=maps)
+
+
+@jax.jit
+def assemble_values(plan: AssemblyPlan, coeff_nodes: jnp.ndarray):
+    """Per-realization refill: nodal coefficient -> (A values, b).
+
+    This is the on-device analogue of `update_isotropic_elliptic_assembly!`
+    (EllipticPde.jl:291-350): same fixed sparsity, only values rewritten.
+    """
+    coeff_e = jnp.mean(coeff_nodes[plan.cells], axis=1)     # (nel,)
+    vals = coeff_e[plan.perm_a] * plan.kgeo
+    a_data = jax.ops.segment_sum(vals, plan.slot_a, num_segments=plan.nnz,
+                                 indices_are_sorted=True)
+    bvals = coeff_e[plan.elem_of_contrib] * plan.bcorr_factor
+    b = plan.b_fixed + jax.ops.segment_sum(
+        bvals, plan.bcorr_slot, num_segments=plan.n_free,
+        indices_are_sorted=True)
+    return a_data, b
+
+
+def do_isotropic_elliptic_assembly(asm: EllipticAssembly, coeff_nodes):
+    """Full assembly returning (A: SparseOp, b). coeff_nodes is the coefficient
+    sampled at ALL mesh nodes (like the reference's Vector overload,
+    EllipticPde.jl:176)."""
+    a_data, b = assemble_values(asm.plan, jnp.asarray(coeff_nodes,
+                                                     asm.op.data.dtype))
+    return asm.op.with_data(a_data), b
+
+
+def get_mass_matrix(cells: np.ndarray, points: np.ndarray,
+                    dtype=None) -> SparseOp:
+    """Consistent P1 mass matrix over ALL nodes (Fem/EllipticPde.jl:412-466):
+    M_ij^e = area/6 if i==j else area/12."""
+    dtype = dtype or (jnp.float64 if jax.config.read("jax_enable_x64")
+                      else jnp.float32)
+    nel = cells.shape[0]
+    nnode = int(cells.max()) + 1
+    _, _, area = element_geometry(cells, points)
+    local = (np.ones((3, 3)) + np.eye(3)) / 12.0            # 1/6 diag, 1/12 off
+    vals = area[:, None, None] * local                      # (nel,3,3)
+    gi = cells[:, :, None].repeat(3, axis=2)
+    gj = cells[:, None, :].repeat(3, axis=1)
+    op, slot = build_sparse_op(gi.ravel(), gj.ravel(), nnode, nnode,
+                               dtype=dtype)
+    data = np.zeros(op.nnz)
+    np.add.at(data, slot, vals.ravel())
+    return op.with_data(jnp.asarray(data, dtype=dtype))

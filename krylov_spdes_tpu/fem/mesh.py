@@ -1,0 +1,158 @@
+"""Triangular meshes of the unit square (host-side, NumPy).
+
+Replaces the reference's Triangle-backed mesh generation
+(/root/reference/Fem/Mesh.jl:21-29, TriangleMesh.jl / Triangle C library) with a
+native generator. The downstream pipeline only ever consumes plain arrays
+(cells, points, point_markers, cell_neighbors) persisted as NPZ
+(Fem/Mesh.jl:52-55), so mesh *provenance* does not matter for parity — mesh
+*format* does. We generate structured-topology triangulations (optionally
+jittered in the interior for unstructured-like irregularity) whose arrays have
+the exact same meaning as the reference's:
+
+- ``cells``          (nel, 3)   int32   node indices of each triangle (0-based)
+- ``points``         (nnode, 2) float64 node coordinates
+- ``point_markers``  (nnode,)   int32   1 = Dirichlet boundary node, 0 = interior
+- ``cell_neighbors`` (nel, 3)   int32   neighbor across edge opposite local
+                                        vertex k, or -1 on the boundary
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class TriMesh:
+    cells: np.ndarray          # (nel, 3) int32
+    points: np.ndarray         # (nnode, 2) float64
+    point_markers: np.ndarray  # (nnode,) int32
+    cell_neighbors: np.ndarray  # (nel, 3) int32
+
+    @property
+    def nel(self) -> int:
+        return self.cells.shape[0]
+
+    @property
+    def nnode(self) -> int:
+        return self.points.shape[0]
+
+
+def _cell_neighbors(cells: np.ndarray) -> np.ndarray:
+    """Neighbor element across the edge opposite each local vertex (-1 if none)."""
+    nel = cells.shape[0]
+    # Edge opposite local vertex k is (v_{k+1}, v_{k+2}).
+    edges = {}
+    neighbors = -np.ones((nel, 3), dtype=np.int32)
+    for e in range(nel):
+        v = cells[e]
+        for k in range(3):
+            a, b = v[(k + 1) % 3], v[(k + 2) % 3]
+            key = (min(a, b), max(a, b))
+            if key in edges:
+                oe, ok = edges.pop(key)
+                neighbors[e, k] = oe
+                neighbors[oe, ok] = e
+            else:
+                edges[key] = (e, k)
+    return neighbors
+
+
+def get_mesh(tentative_nnode: int, jitter: float = 0.0, seed: int = 0) -> TriMesh:
+    """Triangulation of the unit square with ~tentative_nnode nodes.
+
+    Mirrors the role of `get_mesh` (Fem/Mesh.jl:21-29): the node count is
+    approximate. `jitter` in [0, 0.5) perturbs interior nodes by that fraction
+    of the grid spacing to exercise unstructured-mesh code paths.
+    """
+    m = max(1, int(round(np.sqrt(tentative_nnode) - 1)))
+    n1 = m + 1
+    xs = np.linspace(0.0, 1.0, n1)
+    X, Y = np.meshgrid(xs, xs, indexing="xy")
+    points = np.stack([X.ravel(), Y.ravel()], axis=1).astype(np.float64)
+
+    if jitter > 0.0:
+        rng = np.random.default_rng(seed)
+        h = 1.0 / m
+        interior = (
+            (points[:, 0] > 0) & (points[:, 0] < 1)
+            & (points[:, 1] > 0) & (points[:, 1] < 1)
+        )
+        delta = rng.uniform(-jitter * h, jitter * h, size=(points.shape[0], 2))
+        points[interior] += delta[interior]
+
+    def nid(i, j):  # row-major over (y=i, x=j)
+        return i * n1 + j
+
+    cells = np.empty((2 * m * m, 3), dtype=np.int32)
+    k = 0
+    for i in range(m):
+        for j in range(m):
+            p00, p10 = nid(i, j), nid(i, j + 1)
+            p01, p11 = nid(i + 1, j), nid(i + 1, j + 1)
+            # Alternate the split diagonal (union-jack) to avoid mesh anisotropy.
+            if (i + j) % 2 == 0:
+                cells[k] = (p00, p10, p11)
+                cells[k + 1] = (p00, p11, p01)
+            else:
+                cells[k] = (p00, p10, p01)
+                cells[k + 1] = (p10, p11, p01)
+            k += 2
+
+    markers = (
+        (points[:, 0] <= 0.0) | (points[:, 0] >= 1.0)
+        | (points[:, 1] <= 0.0) | (points[:, 1] >= 1.0)
+    )
+    # Boundary coordinates are exact (jitter only moved interior nodes).
+    on_bnd = (
+        (np.abs(points[:, 0]) < 1e-14) | (np.abs(points[:, 0] - 1) < 1e-14)
+        | (np.abs(points[:, 1]) < 1e-14) | (np.abs(points[:, 1] - 1) < 1e-14)
+    )
+    point_markers = (markers | on_bnd).astype(np.int32)
+
+    return TriMesh(cells, points, point_markers, _cell_neighbors(cells))
+
+
+def get_total_area(cells: np.ndarray, points: np.ndarray) -> float:
+    """Total mesh area via the shoelace formula (Fem/Mesh.jl:110-144)."""
+    p = points[cells]  # (nel, 3, 2)
+    x, y = p[..., 0], p[..., 1]
+    area = ((x[:, 1] - x[:, 0]) * (y[:, 2] - y[:, 0])
+            - (x[:, 2] - x[:, 0]) * (y[:, 1] - y[:, 0])) / 2.0
+    return float(area.sum())
+
+
+def element_geometry(cells: np.ndarray, points: np.ndarray):
+    """Per-element shoelace terms and areas (Fem/EllipticPde.jl:91-99).
+
+    Returns (dx, dy, area) with dx, dy of shape (nel, 3) and area (nel,).
+    dx[:, k] = x_{k+2} - x_{k+1}, dy[:, k] = y_{k+1} - y_{k+2} (indices mod 3),
+    which makes grad(phi_k) = (dy_k, dx_k) / (2 area).
+    """
+    p = points[cells]  # (nel, 3, 2)
+    x, y = p[..., 0], p[..., 1]
+    dx = np.stack([x[:, 2] - x[:, 1], x[:, 0] - x[:, 2], x[:, 1] - x[:, 0]], axis=1)
+    dy = np.stack([y[:, 1] - y[:, 2], y[:, 2] - y[:, 0], y[:, 0] - y[:, 1]], axis=1)
+    area = (dx[:, 2] * dy[:, 1] - dx[:, 1] * dy[:, 2]) / 2.0
+    return dx, dy, area
+
+
+# ---------------------------------------------------------------------------
+# NPZ persistence (same artifact convention as Fem/Mesh.jl:52-91, 0-based).
+# ---------------------------------------------------------------------------
+
+def save_mesh(mesh: TriMesh, tentative_nnode: int, data_dir: str = "data") -> None:
+    os.makedirs(data_dir, exist_ok=True)
+    base = os.path.join(data_dir, f"DoF{tentative_nnode}")
+    np.savez(base + ".mesh.npz",
+             cells=mesh.cells, points=mesh.points,
+             point_markers=mesh.point_markers,
+             cell_neighbors=mesh.cell_neighbors)
+
+
+def load_mesh(tentative_nnode: int, data_dir: str = "data") -> TriMesh:
+    base = os.path.join(data_dir, f"DoF{tentative_nnode}")
+    d = np.load(base + ".mesh.npz")
+    return TriMesh(d["cells"], d["points"], d["point_markers"], d["cell_neighbors"])

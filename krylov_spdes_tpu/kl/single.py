@@ -1,0 +1,100 @@
+"""Single-domain Karhunen-Loève eigenproblem, dense and MXU-friendly.
+
+Re-design of /root/reference/Fem/KarhunenLoeve.jl:27-193:
+
+- The reference assembles the Galerkin covariance operator
+  C[i,j] = ∫∫ φi cov φj in two O(nnode²·nel) node×element scalar passes
+  (KarhunenLoeve.jl:33-107). Observation: with P1 elements and the reference's
+  (2,1,1)/12 quadrature, each pass is exactly a consistent-mass-matrix product,
+  so C = M Ĉ M where Ĉ[i,j] = cov(x_i, x_j). We form Ĉ densely on device
+  (broadcasted covariance — pure VPU) and apply two sparse×dense products —
+  matmul-heavy and ideal for the MXU.
+- The generalized eigenproblem C ψ = λ M ψ (reference: `Arpack.eigs(C, M)`,
+  KarhunenLoeve.jl:138) becomes a Cholesky reduction + dense `eigh` on device
+  (ARPACK replacement per SURVEY.md §2.4).
+- Truncation keeps dominant positive eigenpairs until the captured energy
+  reaches `relative · Area · cov(center, center)` (KarhunenLoeve.jl:150-176),
+  then M-renormalizes the modes (KarhunenLoeve.jl:183-185).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.mesh import element_geometry
+from ..ops.sparse import SparseOp, ell_spmv
+from .covariance import cov_matrix
+
+
+def mass_covariance_operator(M: SparseOp, points, cov) -> jnp.ndarray:
+    """Dense C = M Ĉ M with Ĉ[i,j] = cov(x_i, x_j).
+
+    Equivalent (exactly, in exact arithmetic) to
+    `do_mass_covariance_assembly` (KarhunenLoeve.jl:27-107) since the
+    reference's quadrature rule is the consistent P1 mass matrix applied to
+    nodal covariance samples.
+    """
+    pts = jnp.asarray(points, M.data.dtype)
+    Chat = cov_matrix(cov, pts, pts)             # (nnode, nnode) dense
+    R = ell_spmv(M, Chat)                        # M @ Ĉ
+    C = ell_spmv(M, R.T)                         # M @ (M Ĉ)^T = (M Ĉ M)^T = C^T = C
+    return C
+
+
+@jax.jit
+def _generalized_eigh(C: jnp.ndarray, Md: jnp.ndarray):
+    """Solve C ψ = λ M ψ for all pairs, descending λ. Returns (λ, ψ)."""
+    L = jnp.linalg.cholesky(Md)
+    # B = L^{-1} C L^{-T}
+    Y = jax.scipy.linalg.solve_triangular(L, C, lower=True)
+    B = jax.scipy.linalg.solve_triangular(L, Y.T, lower=True)
+    w, V = jnp.linalg.eigh(B)
+    w = w[::-1]
+    V = V[:, ::-1]
+    psi = jax.scipy.linalg.solve_triangular(L.T, V, lower=False)
+    return w, psi
+
+
+def solve_kl(cells, points, cov, nev: int, M: SparseOp,
+             relative: float = 0.99, verbose: bool = False):
+    """KL eigenpairs with energy-ratio truncation (KarhunenLoeve.jl:123-193).
+
+    Returns (Λ: (nvec,), Ψ: (nnode, nvec)) as numpy, M-normalized,
+    nvec <= nev chosen by the reference's truncation rule.
+    """
+    C = mass_covariance_operator(M, points, cov)
+    Md = M.todense()
+    w, psi = _generalized_eigh(C, Md)
+    w = np.asarray(w)[:nev]
+    psi = np.asarray(psi)[:, :nev]
+
+    # Energy target: relative · Area · cov(center, center), where center is the
+    # mean of element centroids (KarhunenLoeve.jl:141-168).
+    _, _, area = element_geometry(np.asarray(cells), np.asarray(points))
+    total_area = float(area.sum())
+    center = np.asarray(points)[np.asarray(cells)].mean(axis=1).mean(axis=0)
+    c_pt = jnp.asarray(center)[None, :]
+    var0 = float(np.asarray(cov(c_pt, c_pt))[0])
+    energy_expected = relative * total_area * var0
+
+    energy = 0.0
+    nvec = 0
+    for lam in w:
+        if lam <= 0:
+            break
+        nvec += 1
+        energy += float(lam)
+        if energy >= energy_expected:
+            break
+
+    lam = w[:nvec]
+    psi = psi[:, :nvec]
+    # M-renormalize (KarhunenLoeve.jl:183-185)
+    Mpsi = np.asarray(ell_spmv(M, jnp.asarray(psi)))
+    psi = psi / np.sqrt(np.einsum("nk,nk->k", psi, Mpsi))
+    if verbose:
+        print(f"{nvec}/{nev} vectors kept for "
+              f"{energy / energy_expected * relative:.5f} relative energy")
+    return lam, psi

@@ -1,0 +1,49 @@
+"""KL field synthesis and latent-coordinate recovery.
+
+Re-design of /root/reference/Fem/KarhunenLoeveDomainDecomposition.jl:985-1163.
+The reference loops BLAS axpys per mode (:1040-1045); here synthesis is one
+fused matvec g = Ψ(√Λ ⊙ ξ) — a tall-skinny matmul that maps straight onto the
+MXU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.sparse import SparseOp, ell_spmv
+
+
+def draw(lam, psi, key):
+    """ξ ~ N(0, I), g = Ψ(√Λ ξ). Returns (ξ, g)
+    (KarhunenLoeveDomainDecomposition.jl:985-1000)."""
+    lam = jnp.asarray(lam)
+    psi = jnp.asarray(psi)
+    xi = jax.random.normal(key, (lam.shape[0],), psi.dtype)
+    return xi, set_field(lam, psi, xi)
+
+
+@jax.jit
+def set_field(lam, psi, xi):
+    """g = Σ_α √λ_α ξ_α ψ_α (reference `set!`, :1135-1163)."""
+    return psi @ (jnp.sqrt(lam) * xi)
+
+
+def trim_and_order(lam, phi):
+    """Drop negative eigenvalues and sort most→least dominant (:1070-1096).
+    The reference receives eigenpairs ascending (LAPACK order) and reverses."""
+    import numpy as np
+    lam = np.asarray(lam)
+    phi = np.asarray(phi)
+    keep = lam > 0
+    lam, phi = lam[keep], phi[:, keep]
+    order = np.argsort(lam)[::-1]
+    return lam[order], phi[:, order]
+
+
+@jax.jit
+def get_kl_coordinates(g, lam, phi, M: SparseOp):
+    """Latent recovery ξ = Φᵀ M g / √Λ (:1109-1146). Validates end-to-end
+    M-orthonormality of the KL basis (SURVEY.md §4.2 round-trip test)."""
+    Mg = ell_spmv(M, g)
+    return (phi.T @ Mg) / jnp.sqrt(lam)

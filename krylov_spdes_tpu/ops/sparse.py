@@ -1,0 +1,150 @@
+"""Fixed-sparsity sparse matrix containers and SpMV for TPU.
+
+TPU-native replacement for the reference's `SparseMatrixCSC` + generic `*`
+(used throughout /root/reference/RecyclingKrylovSolvers/cg.jl etc.). Design per
+SURVEY.md §7: the *symbolic* structure (indices) is computed once host-side per
+mesh and stays constant; per-realization operator updates rewrite only the
+value vector on device (mirroring `update_isotropic_elliptic_assembly!`,
+Fem/EllipticPde.jl:291).
+
+Two views share one canonical value vector (CSR-ordered, row-major sorted):
+
+- CSR (indptr/indices/rows): host interop + segment-sum SpMV.
+- ELL (row-padded to max row degree k): `y = sum_k data[n,k] * x[cols[n,k]]` —
+  dense gathers and a small-axis reduction, the shape XLA tiles well on TPU.
+  P1 meshes have k ≈ 7-9, so padding waste is tiny.
+
+All index arrays are device arrays carried in the pytree (constant across
+calls, donated-buffer friendly).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["data", "indptr", "indices", "rows", "ell_idx", "ell_cols"],
+         meta_fields=["n_rows", "n_cols"])
+@dataclasses.dataclass
+class SparseOp:
+    """Square-ish sparse operator with fixed symbolic structure.
+
+    data:     (nnz,)  values in CSR order
+    indptr:   (n_rows+1,) CSR row pointers
+    indices:  (nnz,)  CSR column indices
+    rows:     (nnz,)  row index of each value (for segment-sum SpMV)
+    ell_idx:  (n_rows, k) index into [data, 0.0-pad] for the ELL view
+    ell_cols: (n_rows, k) column index for the ELL view (0 where padded)
+    """
+    data: jnp.ndarray
+    indptr: jnp.ndarray
+    indices: jnp.ndarray
+    rows: jnp.ndarray
+    ell_idx: jnp.ndarray
+    ell_cols: jnp.ndarray
+    n_rows: int
+    n_cols: int
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def nnz(self) -> int:
+        return self.data.shape[0]
+
+    def with_data(self, data: jnp.ndarray) -> "SparseOp":
+        return dataclasses.replace(self, data=data)
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        return ell_spmv(self, x)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return ell_spmv(self, x)
+
+    def todense(self) -> jnp.ndarray:
+        out = jnp.zeros((self.n_rows, self.n_cols), self.data.dtype)
+        return out.at[self.rows, self.indices].add(self.data)
+
+    # -- host-side interop ---------------------------------------------------
+    def to_scipy(self):
+        from scipy.sparse import csr_matrix
+        return csr_matrix(
+            (np.asarray(self.data), np.asarray(self.indices),
+             np.asarray(self.indptr)),
+            shape=(self.n_rows, self.n_cols))
+
+
+def ell_spmv(A: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
+    """SpMV through the ELL view: two gathers + a k-axis reduction."""
+    data_pad = jnp.concatenate([A.data, jnp.zeros((1,), A.data.dtype)])
+    d = data_pad[A.ell_idx]                  # (n, k)
+    xg = x[A.ell_cols]                       # (n, k) (or (n, k, m) for multi-rhs)
+    if x.ndim == 1:
+        return jnp.sum(d * xg, axis=1)
+    return jnp.einsum("nk,nkm->nm", d, xg)
+
+
+def csr_spmv(A: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
+    """SpMV via sorted segment-sum (reference path; ELL is the default)."""
+    prod = A.data * x[A.indices]
+    return jax.ops.segment_sum(prod, A.rows, num_segments=A.n_rows,
+                               indices_are_sorted=True)
+
+
+def build_sparse_op(rows: np.ndarray, cols: np.ndarray, n_rows: int,
+                    n_cols: int, dtype=None):
+    """Host-side symbolic construction from (unsorted, possibly duplicated)
+    COO coordinates. Returns (op_with_zero_data, slot) where slot[i] is the
+    canonical nnz index of coordinate i (duplicates share a slot — summing
+    contributions into slots reproduces `sparse(I, J, V)` semantics,
+    Fem/EllipticPde.jl:146).
+    """
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    key = rows * n_cols + cols
+    uniq, slot = np.unique(key, return_inverse=True)
+    u_rows = (uniq // n_cols).astype(np.int32)
+    u_cols = (uniq % n_cols).astype(np.int32)
+    nnz = uniq.shape[0]
+
+    indptr = np.zeros(n_rows + 1, dtype=np.int32)
+    np.add.at(indptr, u_rows + 1, 1)
+    np.cumsum(indptr, out=indptr)
+
+    # ELL view
+    row_deg = np.diff(indptr)
+    k = int(row_deg.max()) if nnz else 1
+    ell_idx = np.full((n_rows, k), nnz, dtype=np.int32)  # nnz == zero-pad slot
+    ell_cols = np.zeros((n_rows, k), dtype=np.int32)
+    pos = np.arange(nnz) - np.repeat(indptr[:-1], row_deg)
+    ell_idx[u_rows, pos] = np.arange(nnz, dtype=np.int32)
+    ell_cols[u_rows, pos] = u_cols
+
+    dtype = dtype or jnp.float64
+    op = SparseOp(
+        data=jnp.zeros((nnz,), dtype),
+        indptr=jnp.asarray(indptr),
+        indices=jnp.asarray(u_cols),
+        rows=jnp.asarray(u_rows),
+        ell_idx=jnp.asarray(ell_idx),
+        ell_cols=jnp.asarray(ell_cols),
+        n_rows=n_rows,
+        n_cols=n_cols,
+    )
+    return op, slot.astype(np.int32)
+
+
+def from_scipy(mat, dtype=None) -> SparseOp:
+    """Build a SparseOp from a scipy sparse matrix (host-side)."""
+    m = mat.tocoo()
+    op, slot = build_sparse_op(m.row, m.col, *m.shape, dtype=dtype)
+    data = np.zeros(op.nnz, dtype=np.float64)
+    np.add.at(data, slot, m.data)
+    return op.with_data(jnp.asarray(data, dtype=op.data.dtype))

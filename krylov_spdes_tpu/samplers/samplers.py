@@ -1,0 +1,142 @@
+"""MC / MCMC / hybrid samplers of the KL latent vector (functional JAX).
+
+Re-design of /root/reference/Fem/Samplers.jl:1-322. The reference mutates
+sampler structs in place with Julia's global RNG; here samplers are pure
+functions over an explicit `SamplerState` pytree with `jax.random` keys, so
+chains are reproducible, jittable, vmappable (chain-parallel per SURVEY.md
+§2.2 P4) and shardable across devices.
+
+Semantics matched to the reference:
+- MC: ξ ~ N(0, I_m) iid per draw (Samplers.jl:76-83).
+- MCMC: random-walk Metropolis with proposal variance ϑ² = 2.38²σ²/m
+  (Samplers.jl:139), acceptance ratio on the prior only
+  (α = exp((‖ξ‖²-‖χ‖²)/2σ²), Samplers.jl:173-177), and rejections looping
+  INTERNALLY — each draw returns the number of proposals consumed
+  (Samplers.jl:165-199). The internal loop is a `lax.while_loop`.
+- Hybrid: first m_mcmc modes by MCMC, remaining modes iid N(0,1) refreshed
+  every draw (Samplers.jl:208-322; the reference's field-name bug `n_mcmc`
+  vs `m_mcmc` at :289,314 is NOT reproduced).
+- Field synthesis: g = Σ_k √λ_k ξ_k ψ_k as one matvec (Samplers.jl:44-48).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["xi", "g", "key", "sqrt_lam", "psi"],
+         meta_fields=["kind", "m_mcmc", "sigma2"])
+@dataclasses.dataclass
+class SamplerState:
+    xi: jnp.ndarray        # (m,) latent vector
+    g: jnp.ndarray         # (nnode,) current field realization
+    key: jnp.ndarray       # PRNG key
+    sqrt_lam: jnp.ndarray  # (m,) √Λ
+    psi: jnp.ndarray       # (nnode, m) KL modes
+    kind: str              # "mc" | "mcmc" | "hybrid"
+    m_mcmc: int            # modes sampled by MCMC (hybrid); m for pure MCMC
+    sigma2: float          # prior variance σ²
+
+    @property
+    def m(self) -> int:
+        return self.sqrt_lam.shape[0]
+
+
+def synthesize(sqrt_lam, psi, xi):
+    """g = Ψ (√Λ ⊙ ξ) — the KL field synthesis matvec."""
+    return psi @ (sqrt_lam * xi)
+
+
+def _prepare(kind, lam, psi, key, m_mcmc=None, sigma2=1.0):
+    lam = jnp.asarray(lam)
+    psi = jnp.asarray(psi)
+    m = lam.shape[0]
+    key, sub = jax.random.split(jnp.asarray(key))
+    xi = jax.random.normal(sub, (m,), psi.dtype) * jnp.sqrt(sigma2)
+    sqrt_lam = jnp.sqrt(lam)
+    return SamplerState(
+        xi=xi, g=synthesize(sqrt_lam, psi, xi), key=key,
+        sqrt_lam=sqrt_lam, psi=psi, kind=kind,
+        m_mcmc=int(m if m_mcmc is None else m_mcmc), sigma2=float(sigma2))
+
+
+def prepare_mc_sampler(lam, psi, key=0) -> SamplerState:
+    key = jax.random.PRNGKey(key) if jnp.ndim(key) == 0 else key
+    return _prepare("mc", lam, psi, key)
+
+
+def prepare_mcmc_sampler(lam, psi, key=0) -> SamplerState:
+    key = jax.random.PRNGKey(key) if jnp.ndim(key) == 0 else key
+    return _prepare("mcmc", lam, psi, key)
+
+
+def prepare_hybrid_sampler(lam, psi, m_mcmc: int, key=0) -> SamplerState:
+    key = jax.random.PRNGKey(key) if jnp.ndim(key) == 0 else key
+    return _prepare("hybrid", lam, psi, key, m_mcmc=m_mcmc)
+
+
+@jax.jit
+def _draw_mc(state: SamplerState):
+    key, sub = jax.random.split(state.key)
+    xi = jax.random.normal(sub, state.xi.shape, state.xi.dtype)
+    g = synthesize(state.sqrt_lam, state.psi, xi)
+    return dataclasses.replace(state, xi=xi, g=g, key=key), jnp.int32(1)
+
+
+@jax.jit
+def _draw_mcmc(state: SamplerState):
+    m_mcmc = state.m_mcmc
+    sigma2 = state.sigma2
+    theta = 2.38 ** 2 * sigma2 / m_mcmc   # optimal RW scaling, Samplers.jl:139
+    sq_xi = jnp.sum(state.xi[:m_mcmc] ** 2)
+
+    def propose(key):
+        key, k1, k2 = jax.random.split(key, 3)
+        step = jax.random.normal(k1, (m_mcmc,), state.xi.dtype) * jnp.sqrt(theta)
+        chi = state.xi[:m_mcmc] + step
+        sq_chi = jnp.sum(chi ** 2)
+        alpha = jnp.where(sq_xi < sq_chi,
+                          jnp.exp((sq_xi - sq_chi) / (2 * sigma2)), 1.0)
+        u = jax.random.uniform(k2, dtype=alpha.dtype)
+        return key, chi, (u <= alpha)
+
+    def cond(carry):
+        key, chi, accepted, cnt = carry
+        return ~accepted
+
+    def body(carry):
+        key, chi, accepted, cnt = carry
+        key, chi, acc = propose(key)
+        return key, chi, acc, cnt + 1
+
+    key, chi0, acc0 = propose(state.key)
+    key, chi, _, cnt = jax.lax.while_loop(
+        cond, body, (key, chi0, acc0, jnp.int32(1)))
+
+    xi = state.xi.at[:m_mcmc].set(chi)
+    if state.kind == "hybrid" and m_mcmc < state.m:
+        key, sub = jax.random.split(key)
+        tail = jax.random.normal(sub, (state.m - m_mcmc,), state.xi.dtype)
+        xi = xi.at[m_mcmc:].set(tail)
+    g = synthesize(state.sqrt_lam, state.psi, xi)
+    return dataclasses.replace(state, xi=xi, g=g, key=key), cnt
+
+
+def draw(state: SamplerState):
+    """Advance the sampler one realization. Returns (new_state, n_proposals)."""
+    if state.kind == "mc":
+        return _draw_mc(state)
+    return _draw_mcmc(state)
+
+
+@jax.jit
+def set_xi(state: SamplerState, xi):
+    """Force a given latent vector (reference `set!`, Samplers.jl:96-103)."""
+    xi = jnp.asarray(xi, state.xi.dtype)
+    return dataclasses.replace(
+        state, xi=xi, g=synthesize(state.sqrt_lam, state.psi, xi))

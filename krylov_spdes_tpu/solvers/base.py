@@ -1,0 +1,78 @@
+"""Linear-operator protocol and solver result types.
+
+The reference relies on Julia duck typing: solvers accept
+`A::Union{SparseMatrixCSC, FunctionMap}` and preconditioners are "anything
+supporting `M \\ r`" (/root/reference/RecyclingKrylovSolvers/cg.jl:14-17,
+SURVEY.md §1 L3). The JAX analogue: anything convertible to a jittable
+`x -> A x` callable. `as_linear_op` normalizes SparseOp / dense matrix /
+callable / objects exposing `.matvec` or `.apply`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.tree_util import Partial
+
+
+def _dense_matvec(A, x):
+    return A @ x
+
+
+def _identity(r):
+    return r
+
+
+def as_linear_op(A) -> Callable:
+    """Normalize to a pytree-compatible callable (jax.tree_util.Partial), so
+    solver jits cache on the pytree STRUCTURE: re-solving with new operator
+    values (e.g. a new KL realization's stiffness values) hits the compile
+    cache instead of retracing."""
+    if isinstance(A, Partial):
+        return A
+    from ..ops.sparse import SparseOp, ell_spmv
+    if isinstance(A, SparseOp):
+        return Partial(ell_spmv, A)
+    if callable(getattr(A, "as_partial_op", None)):
+        return A.as_partial_op()
+    if isinstance(A, jnp.ndarray) and A.ndim == 2:
+        return Partial(_dense_matvec, A)
+    if callable(A):
+        return Partial(A)
+    raise TypeError(f"cannot interpret {type(A)} as a linear operator")
+
+
+def as_precond_op(M) -> Callable:
+    """Normalize a preconditioner to a pytree `r -> M^{-1} r` callable."""
+    if M is None:
+        return Partial(_identity)
+    if isinstance(M, Partial):
+        return M
+    if callable(getattr(M, "as_partial_op", None)):
+        return M.as_partial_op()
+    if isinstance(M, jnp.ndarray) and M.ndim == 2:
+        # Dense M^{-1} given explicitly.
+        return Partial(_dense_matvec, M)
+    if callable(M):
+        return Partial(M)
+    raise TypeError(f"cannot interpret {type(M)} as a preconditioner")
+
+
+@dataclasses.dataclass
+class SolveResult:
+    """x: solution; it: number of recorded residual norms, matching the
+    reference's `it` (initial residual counts as 1, cf. cg.jl:35-47);
+    res_norm: (maxit,) padded residual-norm history — entries at index >= it
+    are zero. Use `history()` for the trimmed view."""
+    x: jnp.ndarray
+    it: jnp.ndarray
+    res_norm: jnp.ndarray
+    W: jnp.ndarray | None = None  # recycled deflation basis, when produced
+
+    def history(self):
+        import numpy as np
+        it = int(self.it)
+        return np.asarray(self.res_norm)[:it]

@@ -1,0 +1,119 @@
+"""Conjugate-gradient solvers as single-trace `lax.while_loop` programs.
+
+Iteration-parity redesign of the reference CG/PCG
+(/root/reference/RecyclingKrylovSolvers/cg.jl:14-109): identical update
+ordering, convergence test (||r|| <= rtol·||b||, tested on the PREVIOUS
+residual before each step) and iteration accounting (`it` starts at 1 with the
+initial residual; the loop runs while it < maxit and res > tol), so iteration
+counts match the Julia solvers ± floating-point noise.
+
+TPU notes: the whole solve is one compiled program — no per-iteration host
+dispatch. The residual history lives in a fixed-size buffer written with
+dynamic indexing. Dot products and axpys fuse into the surrounding SpMV by XLA.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import config
+from .base import SolveResult, as_linear_op, as_precond_op
+
+
+@partial(jax.jit, static_argnames=("maxit",))
+def _cg_impl(A, b, x0, maxit, rtol):
+    dtype = b.dtype
+    n = b.shape[0]
+    x = x0.astype(dtype)
+    r = b - A(x)
+    rTr = jnp.vdot(r, r)
+    p = r
+    res0 = jnp.sqrt(rTr)
+    res_norm = jnp.zeros((maxit,), dtype).at[0].set(res0)
+    tol = rtol * jnp.linalg.norm(b)
+
+    def cond(c):
+        x, r, p, rTr, it, res_norm = c
+        return (it < maxit) & (res_norm[it - 1] > tol)
+
+    def body(c):
+        x, r, p, rTr, it, res_norm = c
+        Ap = A(p)
+        d = jnp.vdot(p, Ap)
+        alpha = rTr / d
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rTr_new = jnp.vdot(r, r)
+        beta = rTr_new / rTr
+        p = r + beta * p
+        res_norm = res_norm.at[it].set(jnp.sqrt(rTr_new))
+        return (x, r, p, rTr_new, it + 1, res_norm)
+
+    x, r, p, rTr, it, res_norm = jax.lax.while_loop(
+        cond, body, (x, r, p, rTr, jnp.int32(1), res_norm))
+    return x, it, res_norm
+
+
+def cg(A, b, x=None, maxit: int = 0, rtol: float | None = None) -> SolveResult:
+    """Plain CG (cg.jl:14-64). `maxit=0` means n, as in the reference."""
+    b = jnp.asarray(b)
+    n = b.shape[0]
+    maxit = n if maxit == 0 else maxit
+    rtol = config.rtol if rtol is None else rtol
+    x0 = jnp.zeros_like(b) if x is None else jnp.asarray(x)
+    Afn = as_linear_op(A)
+    xs, it, res = _cg_impl(Afn, b, x0, maxit, rtol)
+    return SolveResult(x=xs, it=it, res_norm=res)
+
+
+@partial(jax.jit, static_argnames=("maxit",))
+def _pcg_impl(A, M, b, x0, maxit, rtol):
+    dtype = b.dtype
+    x = x0.astype(dtype)
+    r = b - A(x)
+    rTr = jnp.vdot(r, r)
+    z = M(r)
+    rTz = jnp.vdot(r, z)
+    p = z
+    res_norm = jnp.zeros((maxit,), dtype).at[0].set(jnp.sqrt(rTr))
+    tol = rtol * jnp.linalg.norm(b)
+
+    def cond(c):
+        x, r, p, rTz, it, res_norm = c
+        return (it < maxit) & (res_norm[it - 1] > tol)
+
+    def body(c):
+        x, r, p, rTz, it, res_norm = c
+        Ap = A(p)
+        d = jnp.vdot(p, Ap)
+        alpha = rTz / d
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rTr = jnp.vdot(r, r)
+        z = M(r)
+        rTz_new = jnp.vdot(r, z)
+        beta = rTz_new / rTz
+        p = z + beta * p
+        res_norm = res_norm.at[it].set(jnp.sqrt(rTr))
+        return (x, r, p, rTz_new, it + 1, res_norm)
+
+    x, r, p, rTz, it, res_norm = jax.lax.while_loop(
+        cond, body, (x, r, p, rTz, jnp.int32(1), res_norm))
+    return x, it, res_norm
+
+
+def pcg(A, b, x=None, M=None, maxit: int = 0,
+        rtol: float | None = None) -> SolveResult:
+    """Preconditioned CG (cg.jl:67-109)."""
+    b = jnp.asarray(b)
+    n = b.shape[0]
+    maxit = n if maxit == 0 else maxit
+    rtol = config.rtol if rtol is None else rtol
+    x0 = jnp.zeros_like(b) if x is None else jnp.asarray(x)
+    Afn = as_linear_op(A)
+    Mfn = as_precond_op(M)
+    xs, it, res = _pcg_impl(Afn, Mfn, b, x0, maxit, rtol)
+    return SolveResult(x=xs, it=it, res_norm=res)

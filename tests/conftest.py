@@ -1,0 +1,20 @@
+import os
+
+# Parity tests run in float64 on a virtual 8-device CPU mesh (SURVEY.md §4.7):
+# multi-chip sharding is validated without TPU hardware; numerical parity with
+# the float64 Julia reference requires x64.
+# Force CPU: the session env presets JAX_PLATFORMS=axon (a tunneled TPU chip);
+# parity tests must run locally on the virtual device mesh. NOTE the axon
+# plugin wins over the env var, so jax.config.update below is the one that
+# actually takes effect.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault(
+    "XLA_FLAGS",
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+)
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,127 @@
+"""NumPy test oracle mirroring the Julia reference semantics.
+
+These are straightforward NumPy transcriptions of the *math* of the reference
+routines (cited per function), used as ground truth for parity tests of the
+TPU-native implementations. Scalar loops are fine here — tests run on tiny
+meshes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.sparse import csr_matrix
+
+EPS = 1e-7  # RecyclingKrylovSolvers.jl:21
+
+
+def assemble_elliptic(cells, points, point_markers, coeff_nodes, f, u_exact):
+    """Element-loop P1 assembly on free dofs (Fem/EllipticPde.jl:176-270).
+
+    Returns (A: csr_matrix, b: ndarray, free_l2g).
+    """
+    nel = cells.shape[0]
+    markers = np.asarray(point_markers).ravel()
+    free = np.nonzero(markers == 0)[0]
+    g2l = -np.ones(markers.shape[0], dtype=int)
+    g2l[free] = np.arange(free.shape[0])
+    nfree = free.shape[0]
+
+    I, J, V = [], [], []
+    b = np.zeros(nfree)
+    for e in range(nel):
+        v = cells[e]
+        x = points[v, 0]
+        y = points[v, 1]
+        a_e = coeff_nodes[v].mean()
+        dx = np.array([x[2] - x[1], x[0] - x[2], x[1] - x[0]])
+        dy = np.array([y[1] - y[2], y[2] - y[0], y[0] - y[1]])
+        area = (dx[2] * dy[1] - dx[1] * dy[2]) / 2.0
+        for i in range(3):
+            gi = v[i]
+            for j in range(3):
+                gj = v[j]
+                kij = a_e * (dy[i] * dy[j] + dx[i] * dx[j]) / 4.0 / area
+                if markers[gi] == 0 and markers[gj] == 0:
+                    I.append(g2l[gi]); J.append(g2l[gj]); V.append(kij)
+                elif markers[gi] == 1 and markers[gj] == 0:
+                    b[g2l[gj]] -= u_exact(x[i], y[i]) * kij
+        for i in range(3):
+            gi = v[i]
+            if markers[gi] == 0:
+                jj, kk = (i + 1) % 3, (i + 2) % 3
+                b[g2l[gi]] += (2 * f(x[i], y[i]) + f(x[jj], y[jj])
+                               + f(x[kk], y[kk])) * area / 12.0
+    A = csr_matrix((V, (I, J)), shape=(nfree, nfree))
+    return A, b, free
+
+
+def mass_matrix(cells, points):
+    """Consistent P1 mass matrix (Fem/EllipticPde.jl:412-466)."""
+    nel = cells.shape[0]
+    nnode = cells.max() + 1
+    I, J, V = [], [], []
+    for e in range(nel):
+        v = cells[e]
+        x, y = points[v, 0], points[v, 1]
+        dx = np.array([x[2] - x[1], x[0] - x[2], x[1] - x[0]])
+        dy = np.array([y[1] - y[2], y[2] - y[0], y[0] - y[1]])
+        area = (dx[2] * dy[1] - dx[1] * dy[2]) / 2.0
+        for i in range(3):
+            for j in range(3):
+                V.append(area / 6.0 if i == j else area / 12.0)
+                I.append(v[i]); J.append(v[j])
+    return csr_matrix((V, (I, J)), shape=(nnode, nnode))
+
+
+def cg(A, b, x, maxit=0):
+    """Textbook CG with reference iteration accounting (cg.jl:14-64)."""
+    n = b.shape[0]
+    maxit = n if maxit == 0 else maxit
+    x = x.copy()
+    r = b - A @ x
+    rTr = r @ r
+    p = r.copy()
+    res = [np.sqrt(rTr)]
+    tol = EPS * np.linalg.norm(b)
+    it = 1
+    while it < maxit and res[-1] > tol:
+        Ap = A @ p
+        alpha = rTr / (p @ Ap)
+        x += alpha * p
+        r -= alpha * Ap
+        rTr_new = r @ r
+        beta = rTr_new / rTr
+        rTr = rTr_new
+        p = r + beta * p
+        it += 1
+        res.append(np.sqrt(rTr))
+    return x, it, np.array(res)
+
+
+def pcg(A, b, x, Msolve, maxit=0):
+    """Preconditioned CG (cg.jl:67-109). Msolve: r -> M^{-1} r."""
+    n = b.shape[0]
+    maxit = n if maxit == 0 else maxit
+    x = x.copy()
+    r = b - A @ x
+    rTr = r @ r
+    z = Msolve(r)
+    rTz = r @ z
+    p = z.copy()
+    res = [np.sqrt(rTr)]
+    tol = EPS * np.linalg.norm(b)
+    it = 1
+    while it < maxit and res[-1] > tol:
+        Ap = A @ p
+        alpha = rTz / (p @ Ap)
+        x += alpha * p
+        r -= alpha * Ap
+        rTr = r @ r
+        z = Msolve(r)
+        rTz_new = r @ z
+        beta = rTz_new / rTz
+        rTz = rTz_new
+        p = z + beta * p
+        it += 1
+        res.append(np.sqrt(rTr))
+    return x, it, np.array(res)

@@ -1,0 +1,79 @@
+import numpy as np
+import pytest
+
+from krylov_spdes_tpu.fem.mesh import get_mesh, get_total_area
+from krylov_spdes_tpu.fem.bc import get_dirichlet_inds, append_bc
+from krylov_spdes_tpu.fem.assembly import (
+    prepare_elliptic_assembly, do_isotropic_elliptic_assembly, get_mass_matrix)
+
+import oracle
+
+
+def fsrc(x, y):
+    return -1.0 + 0.0 * x
+
+
+def uex(x, y):
+    return 0.0 * x
+
+
+@pytest.mark.parametrize("jitter", [0.0, 0.3])
+def test_assembly_matches_oracle(jitter):
+    mesh = get_mesh(150, jitter=jitter, seed=3)
+    rng = np.random.default_rng(0)
+    coeff = np.exp(rng.normal(size=mesh.nnode))
+
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    asm = prepare_elliptic_assembly(mesh.cells, mesh.points, maps, fsrc, uex)
+    A, b = do_isotropic_elliptic_assembly(asm, coeff)
+
+    A_ref, b_ref, free = oracle.assemble_elliptic(
+        mesh.cells, mesh.points, mesh.point_markers, coeff, fsrc, uex)
+
+    np.testing.assert_allclose(np.asarray(A.todense()), A_ref.toarray(),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(b), b_ref, rtol=1e-12, atol=1e-14)
+    # free dof ordering matches
+    np.testing.assert_array_equal(maps.free_l2g, free)
+
+
+def test_update_reuses_sparsity():
+    mesh = get_mesh(100)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    asm = prepare_elliptic_assembly(mesh.cells, mesh.points, maps, fsrc, uex)
+    rng = np.random.default_rng(1)
+    for _ in range(3):
+        coeff = np.exp(rng.normal(size=mesh.nnode))
+        A, b = do_isotropic_elliptic_assembly(asm, coeff)
+        A_ref, b_ref, _ = oracle.assemble_elliptic(
+            mesh.cells, mesh.points, mesh.point_markers, coeff, fsrc, uex)
+        np.testing.assert_allclose(np.asarray(A.todense()), A_ref.toarray(),
+                                   rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(b), b_ref, rtol=1e-12, atol=1e-14)
+
+
+def test_mass_matrix():
+    mesh = get_mesh(80, jitter=0.2, seed=1)
+    M = get_mass_matrix(mesh.cells, mesh.points)
+    M_ref = oracle.mass_matrix(mesh.cells, mesh.points)
+    np.testing.assert_allclose(np.asarray(M.todense()), M_ref.toarray(),
+                               rtol=1e-12, atol=1e-15)
+    # mass matrix row sums integrate to total area
+    np.testing.assert_allclose(float(np.asarray(M.todense()).sum()),
+                               get_total_area(mesh.cells, mesh.points),
+                               rtol=1e-12)
+
+
+def test_spmv_views_agree():
+    from krylov_spdes_tpu.ops.sparse import csr_spmv, ell_spmv
+    mesh = get_mesh(120, jitter=0.25, seed=2)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    asm = prepare_elliptic_assembly(mesh.cells, mesh.points, maps, fsrc, uex)
+    rng = np.random.default_rng(4)
+    A, _ = do_isotropic_elliptic_assembly(asm, np.exp(rng.normal(size=mesh.nnode)))
+    x = rng.normal(size=maps.n_free)
+    y_ell = np.asarray(ell_spmv(A, x))
+    y_csr = np.asarray(csr_spmv(A, x))
+    y_ref = A.to_scipy() @ x
+    np.testing.assert_allclose(y_ell, y_ref, rtol=1e-13)
+    np.testing.assert_allclose(y_csr, y_ref, rtol=1e-13)

@@ -1,0 +1,56 @@
+import numpy as np
+
+from krylov_spdes_tpu.fem.mesh import get_mesh
+from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+from krylov_spdes_tpu.fem.assembly import (
+    prepare_elliptic_assembly, do_isotropic_elliptic_assembly)
+from krylov_spdes_tpu.solvers.cg import cg, pcg
+
+import oracle
+
+
+def setup_system(n=300, jitter=0.25, seed=0):
+    mesh = get_mesh(n, jitter=jitter, seed=seed)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    asm = prepare_elliptic_assembly(
+        mesh.cells, mesh.points, maps,
+        lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+    rng = np.random.default_rng(seed)
+    coeff = np.exp(rng.normal(size=mesh.nnode))
+    A, b = do_isotropic_elliptic_assembly(asm, coeff)
+    return A, np.asarray(b), mesh, maps
+
+
+def test_cg_iteration_parity():
+    A, b, _, _ = setup_system()
+    res = cg(A, b)
+    x_ref, it_ref, hist_ref = oracle.cg(A.to_scipy(), b, np.zeros_like(b))
+    assert abs(int(res.it) - it_ref) <= 1  # ± reduction-order noise
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-5, atol=1e-9)
+    # converged to the reference tolerance
+    assert res.history()[-1] <= 1e-7 * np.linalg.norm(b)
+
+
+def test_pcg_jacobi_iteration_parity():
+    A, b, _, _ = setup_system(seed=5)
+    Asp = A.to_scipy()
+    dinv = 1.0 / Asp.diagonal()
+    res = pcg(A, b, M=lambda r: dinv * r)
+    x_ref, it_ref, _ = oracle.pcg(Asp, b, np.zeros_like(b), lambda r: dinv * r)
+    assert abs(int(res.it) - it_ref) <= 1
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-5, atol=1e-9)
+
+
+def test_cg_solution_correct():
+    A, b, _, _ = setup_system(seed=7)
+    res = cg(A, b)
+    import scipy.sparse.linalg as spla
+    x_direct = spla.spsolve(A.to_scipy().tocsc(), b)
+    np.testing.assert_allclose(np.asarray(res.x), x_direct, rtol=1e-5, atol=1e-8)
+
+
+def test_cg_maxit_semantics():
+    A, b, _, _ = setup_system(seed=9)
+    res = cg(A, b, maxit=5)
+    assert int(res.it) == 5
+    assert len(res.history()) == 5

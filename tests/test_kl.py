@@ -1,0 +1,92 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from krylov_spdes_tpu.fem.mesh import get_mesh, get_total_area
+from krylov_spdes_tpu.fem.assembly import get_mass_matrix
+from krylov_spdes_tpu.kl.covariance import make_cov, cov_matrix
+from krylov_spdes_tpu.kl.single import mass_covariance_operator, solve_kl
+from krylov_spdes_tpu.kl.synthesis import (
+    draw, set_field, get_kl_coordinates, trim_and_order)
+
+import oracle
+
+
+def test_mass_covariance_equals_reference_quadrature():
+    """C = M Ĉ M must equal the reference's two-pass node×element quadrature
+    (Fem/KarhunenLoeve.jl:27-107) exactly: both are the consistent P1 rule."""
+    mesh = get_mesh(80, jitter=0.2, seed=0)
+    cov = make_cov("sexp", sig2=1.0, L=0.3)
+    M = get_mass_matrix(mesh.cells, mesh.points)
+    C = np.asarray(mass_covariance_operator(M, mesh.points, cov))
+
+    # oracle: R = M @ Chat per-column, C = R @ M — but computed the
+    # reference way via scipy mass matrix
+    Msp = oracle.mass_matrix(mesh.cells, mesh.points)
+    pts = mesh.points
+    Chat = np.asarray(cov_matrix(cov, jnp.asarray(pts), jnp.asarray(pts)))
+    C_ref = Msp @ Chat @ Msp.T
+    np.testing.assert_allclose(C, C_ref.toarray() if hasattr(C_ref, "toarray")
+                               else np.asarray(C_ref), rtol=1e-10, atol=1e-13)
+
+
+def test_solve_kl_orthonormal_and_convergent():
+    mesh = get_mesh(400, jitter=0.15, seed=1)
+    cov = make_cov("sexp", sig2=1.0, L=0.5)
+    M = get_mass_matrix(mesh.cells, mesh.points)
+    lam, psi = solve_kl(mesh.cells, mesh.points, cov, 30, M, relative=0.99)
+
+    assert lam.shape[0] >= 3
+    assert np.all(np.diff(lam) <= 1e-12)  # descending
+    assert np.all(lam > 0)
+    # M-orthonormality
+    Md = np.asarray(M.todense())
+    G = psi.T @ Md @ psi
+    np.testing.assert_allclose(G, np.eye(lam.shape[0]), atol=1e-8)
+    # eigen residual: C psi = lam M psi
+    C = np.asarray(mass_covariance_operator(M, mesh.points, cov))
+    res = C @ psi - Md @ psi * lam
+    assert np.abs(res).max() < 1e-8
+    # total variance check: sum lam_i <= area * sig2 and close for L=0.5
+    area = get_total_area(mesh.cells, mesh.points)
+    assert lam.sum() <= area * 1.0 + 1e-8
+
+
+def test_kl_roundtrip_latent_recovery():
+    """SURVEY §4.2: ξ -> g -> ξ round trip."""
+    mesh = get_mesh(300, seed=2)
+    cov = make_cov("sexp", sig2=1.0, L=0.5)
+    M = get_mass_matrix(mesh.cells, mesh.points)
+    lam, psi = solve_kl(mesh.cells, mesh.points, cov, 20, M, relative=0.999)
+    rng = np.random.default_rng(0)
+    xi = rng.normal(size=lam.shape[0])
+    g = set_field(jnp.asarray(lam), jnp.asarray(psi), jnp.asarray(xi))
+    chi = np.asarray(get_kl_coordinates(g, jnp.asarray(lam), jnp.asarray(psi), M))
+    np.testing.assert_allclose(chi, xi, atol=1e-8)
+
+
+def test_trim_and_order():
+    lam = np.array([-0.5, 0.1, 2.0, 1.0])
+    phi = np.arange(8.0).reshape(2, 4)
+    lam2, phi2 = trim_and_order(lam, phi)
+    np.testing.assert_array_equal(lam2, [2.0, 1.0, 0.1])
+    np.testing.assert_array_equal(phi2[:, 0], phi[:, 2])
+
+
+def test_draw_statistics():
+    mesh = get_mesh(200, seed=3)
+    cov = make_cov("sexp", sig2=1.0, L=0.5)
+    M = get_mass_matrix(mesh.cells, mesh.points)
+    lam, psi = solve_kl(mesh.cells, mesh.points, cov, 20, M, relative=0.999)
+    key = jax.random.PRNGKey(0)
+    xs = []
+    for i in range(200):
+        key, sub = jax.random.split(key)
+        xi, g = draw(jnp.asarray(lam), jnp.asarray(psi), sub)
+        xs.append(np.asarray(g))
+    xs = np.stack(xs)
+    # mean ~ 0, marginal variance ~ sum lam_k psi_k^2
+    var_emp = xs.var(axis=0)
+    var_th = (psi ** 2 @ lam)
+    assert np.abs(xs.mean(axis=0)).max() < 0.35
+    assert np.abs(var_emp - var_th).mean() < 0.15

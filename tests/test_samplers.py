@@ -1,0 +1,73 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from krylov_spdes_tpu.samplers.samplers import (
+    prepare_mc_sampler, prepare_mcmc_sampler, prepare_hybrid_sampler,
+    draw, set_xi)
+
+
+def _basis(m=8, n=50, seed=0):
+    rng = np.random.default_rng(seed)
+    lam = np.sort(rng.uniform(0.1, 2.0, m))[::-1].copy()
+    psi = rng.normal(size=(n, m)) / np.sqrt(n)
+    return lam, psi
+
+
+def test_mc_sampler_draws_iid():
+    lam, psi = _basis()
+    s = prepare_mc_sampler(lam, psi, key=0)
+    s1, cnt = draw(s)
+    assert int(cnt) == 1
+    s2, _ = draw(s1)
+    assert not np.allclose(np.asarray(s1.xi), np.asarray(s2.xi))
+    # field consistent with xi
+    g_expect = psi @ (np.sqrt(lam) * np.asarray(s2.xi))
+    np.testing.assert_allclose(np.asarray(s2.g), g_expect, rtol=1e-10)
+
+
+def test_mcmc_sampler_acceptance():
+    lam, psi = _basis(m=20)
+    s = prepare_mcmc_sampler(lam, psi, key=1)
+    cnts = []
+    norms = []
+    for _ in range(300):
+        s, cnt = draw(s)
+        cnts.append(int(cnt))
+        norms.append(float(jnp.sum(s.xi ** 2)))
+    # every draw consumes >= 1 proposal; internal rejection loop returns count
+    assert min(cnts) >= 1
+    # RW-Metropolis with the 2.38^2/m scaling targets ~0.2-0.5 acceptance
+    acc = len(cnts) / sum(cnts)
+    assert 0.1 < acc < 0.8
+    # stationary distribution: ||xi||^2 ~ chi2(m), mean m
+    assert 5 < np.mean(norms[50:]) < 60
+
+
+def test_hybrid_sampler_tail_refreshes():
+    lam, psi = _basis(m=10)
+    s = prepare_hybrid_sampler(lam, psi, m_mcmc=4, key=2)
+    s1, _ = draw(s)
+    s2, _ = draw(s1)
+    # iid tail always changes
+    assert not np.allclose(np.asarray(s1.xi[4:]), np.asarray(s2.xi[4:]))
+
+
+def test_set_xi():
+    lam, psi = _basis()
+    s = prepare_mc_sampler(lam, psi, key=3)
+    xi = np.ones(lam.shape[0])
+    s2 = set_xi(s, xi)
+    np.testing.assert_allclose(np.asarray(s2.g),
+                               psi @ np.sqrt(lam), rtol=1e-10)
+
+
+def test_mcmc_chain_reproducible():
+    lam, psi = _basis()
+    out = []
+    for _ in range(2):
+        s = prepare_mcmc_sampler(lam, psi, key=7)
+        for _ in range(5):
+            s, _ = draw(s)
+        out.append(np.asarray(s.xi))
+    np.testing.assert_array_equal(out[0], out[1])
