@@ -76,3 +76,29 @@ class SolveResult:
         import numpy as np
         it = int(self.it)
         return np.asarray(self.res_norm)[:it]
+
+    @property
+    def failed(self) -> bool:
+        """True when the solve broke down (NaN/Inf residual — e.g. a
+        rank-deficient deflation basis made WᵀAW singular). The reference
+        throws and its drivers discard+retry the chain
+        (Example09..._Functions.jl:358-360); here breakdown is a queryable
+        state so chain drivers can apply the same policy without exceptions
+        crossing jit boundaries."""
+        import numpy as np
+        h = self.history()
+        return bool(h.size == 0 or not np.isfinite(h[-1]))
+
+    def converged(self, b, rtol: float = 1e-7) -> bool:
+        import numpy as np
+        h = self.history()
+        return bool(h.size and np.isfinite(h[-1])
+                    and h[-1] <= rtol * float(np.linalg.norm(np.asarray(b))))
+
+
+def check_w_rank(W, frac: float = 0.9) -> bool:
+    """Deflation-basis health guard: True when rank(W) >= frac * nvec
+    (the reference's chain-abort criterion, Example09..._Functions.jl:358)."""
+    import numpy as np
+    W = np.asarray(W)
+    return np.linalg.matrix_rank(W) >= frac * W.shape[1]

@@ -1,0 +1,287 @@
+"""Deflated CG/PCG and their eigenvector-recycling variants.
+
+Redesign of /root/reference/RecyclingKrylovSolvers/defcg.jl:
+
+- `defcg` / `defpcg` (Saad, Yeung, Erhel & Guyomarc'h 1999): projected initial
+  guess x += W (WᵀAW)⁻¹Wᵀr and per-iteration direction deflation
+  p <- beta p + z - W (WᵀAW)⁻¹(WᵀA z).
+- `eigdefcg` / `eigdefpcg` ("RR-LO-TR-Def-(P)CG", Venkovic et al. 2020):
+  Def-CG plus eigCG-style online harvesting, search space SEEDED with W
+  (V[:nvec] = W, VtAV[:nvec,:nvec] = WᵀAW, defcg.jl:158-162). eigdefpcg adds
+  per-iteration residual re-orthogonalization r -= W(WᵀW)⁻¹Wᵀr (defcg.jl:407).
+
+The deflation solves use a Cholesky factor of WᵀAW computed once; deflation
+projections are tall-skinny matmuls (n×nvec) — MXU work, batched over the
+iteration by XLA.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve
+
+from ..config import config
+from .base import SolveResult, as_linear_op, as_precond_op
+from .eig_common import thick_restart_basis
+
+
+def _deflation_setup(A, W, x, b):
+    """WtA (nvec, n), chol(WtAW), deflated initial guess."""
+    WtA = jax.vmap(A, in_axes=1, out_axes=0)(W)   # rows = A w_i (A SPD)
+    WtAW = WtA @ W
+    cho = cho_factor(WtAW)
+    r = b - A(x)
+    mu = cho_solve(cho, W.T @ r)
+    x = x + W @ mu
+    return WtA, cho, x
+
+
+@partial(jax.jit, static_argnames=("maxit",))
+def _defcg_impl(A, b, x0, W, maxit, rtol):
+    dtype = b.dtype
+    x = x0.astype(dtype)
+    WtA, cho, x = _deflation_setup(A, W, x, b)
+
+    r = b - A(x)
+    rTr = jnp.vdot(r, r)
+    mu = cho_solve(cho, WtA @ r)
+    p = r - W @ mu
+    res_norm = jnp.zeros((maxit,), dtype).at[0].set(jnp.sqrt(rTr))
+    tol = rtol * jnp.linalg.norm(b)
+
+    def cond(c):
+        x, r, p, rTr, it, res = c
+        return (it < maxit) & (res[it - 1] > tol)
+
+    def body(c):
+        x, r, p, rTr, it, res = c
+        Ap = A(p)
+        alpha = rTr / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rTr_new = jnp.vdot(r, r)
+        beta = rTr_new / rTr
+        mu = cho_solve(cho, WtA @ r)
+        p = beta * p + r - W @ mu
+        res = res.at[it].set(jnp.sqrt(rTr_new))
+        return (x, r, p, rTr_new, it + 1, res)
+
+    x, r, p, rTr, it, res = jax.lax.while_loop(
+        cond, body, (x, r, p, rTr, jnp.int32(1), res_norm))
+    return x, it, res
+
+
+def defcg(A, b, x=None, W=None, maxit: int = 0,
+          rtol: float | None = None) -> SolveResult:
+    """Deflated CG (defcg.jl:24-90)."""
+    b = jnp.asarray(b)
+    maxit = b.shape[0] if maxit == 0 else maxit
+    rtol = config.rtol if rtol is None else rtol
+    x0 = jnp.zeros_like(b) if x is None else jnp.asarray(x)
+    xs, it, res = _defcg_impl(as_linear_op(A), b, x0, jnp.asarray(W), maxit,
+                              rtol)
+    return SolveResult(x=xs, it=it, res_norm=res)
+
+
+@partial(jax.jit, static_argnames=("maxit",))
+def _defpcg_impl(A, M, b, x0, W, maxit, rtol):
+    dtype = b.dtype
+    x = x0.astype(dtype)
+    WtA, cho, x = _deflation_setup(A, W, x, b)
+
+    r = b - A(x)
+    rTr = jnp.vdot(r, r)
+    z = M(r)
+    rTz = jnp.vdot(r, z)
+    mu = cho_solve(cho, WtA @ z)
+    p = z - W @ mu
+    res_norm = jnp.zeros((maxit,), dtype).at[0].set(jnp.sqrt(rTr))
+    tol = rtol * jnp.linalg.norm(b)
+
+    def cond(c):
+        x, r, p, rTz, it, res = c
+        return (it < maxit) & (res[it - 1] > tol)
+
+    def body(c):
+        x, r, p, rTz, it, res = c
+        Ap = A(p)
+        alpha = rTz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rTr = jnp.vdot(r, r)
+        z = M(r)
+        rTz_new = jnp.vdot(r, z)
+        beta = rTz_new / rTz
+        mu = cho_solve(cho, WtA @ z)
+        p = beta * p + z - W @ mu
+        res = res.at[it].set(jnp.sqrt(rTr))
+        return (x, r, p, rTz_new, it + 1, res)
+
+    x, r, p, rTz, it, res = jax.lax.while_loop(
+        cond, body, (x, r, p, rTz, jnp.int32(1), res_norm))
+    return x, it, res
+
+
+def defpcg(A, b, x=None, W=None, M=None, maxit: int = 0,
+           rtol: float | None = None) -> SolveResult:
+    """Deflated PCG (defcg.jl:225-310)."""
+    b = jnp.asarray(b)
+    maxit = b.shape[0] if maxit == 0 else maxit
+    rtol = config.rtol if rtol is None else rtol
+    x0 = jnp.zeros_like(b) if x is None else jnp.asarray(x)
+    xs, it, res = _defpcg_impl(as_linear_op(A), as_precond_op(M), b, x0,
+                               jnp.asarray(W), maxit, rtol)
+    return SolveResult(x=xs, it=it, res_norm=res)
+
+
+@partial(jax.jit, static_argnames=("nvec", "spdim", "maxit", "precond",
+                                   "reorth"))
+def _eigdef_impl(A, M, b, x0, W, nvec, spdim, maxit, rtol, precond, reorth):
+    """Shared eigdefcg (precond=False) / eigdefpcg (precond=True) body."""
+    dtype = b.dtype
+    n = b.shape[0]
+    x = x0.astype(dtype)
+    WtA, cho, x = _deflation_setup(A, W, x, b)
+    WtAW = WtA @ W
+    WtW = W.T @ W
+    cho_w = cho_factor(WtW)
+
+    V = jnp.zeros((spdim, n), dtype)
+    VtAV = jnp.zeros((spdim, spdim), dtype)
+
+    r = b - A(x)
+    rTr = jnp.vdot(r, r)
+    z = M(r) if precond else r
+    rTz = jnp.vdot(r, z)
+    mu = cho_solve(cho, WtA @ z)
+    p = z - W @ mu
+    res0 = jnp.sqrt(rTr)
+    res_norm = jnp.zeros((maxit,), dtype).at[0].set(res0)
+
+    V = V.at[:nvec].set(W.T)
+    VtAV = VtAV.at[:nvec, :nvec].set(WtAW)
+    seed = r / res0 if not precond else z / jnp.sqrt(rTz)
+    V = V.at[nvec].set(seed)
+    tol = rtol * jnp.linalg.norm(b)
+
+    carry = dict(x=x, r=r, p=p, rTz=rTz, it=jnp.int32(1), res=res_norm,
+                 V=V, VtAV=VtAV, ivec=jnp.int32(nvec),
+                 first=jnp.bool_(True), jr=jnp.bool_(False))
+
+    def cond(c):
+        return (c["it"] < maxit) & (c["res"][c["it"] - 1] > tol)
+
+    def body(c):
+        x, r, p, rTz, it = c["x"], c["r"], c["p"], c["rTz"], c["it"]
+        V, VtAV, ivec, first = c["V"], c["VtAV"], c["ivec"], c["first"]
+        Ap = A(p)
+        alpha = rTz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        if precond and reorth:
+            # residual re-orthogonalization against W (defcg.jl:407)
+            r = r - W @ cho_solve(cho_w, W.T @ r)
+        rTr = jnp.vdot(r, r)
+        z = M(r) if precond else r
+        rTz_new = jnp.vdot(r, z)
+        beta = rTz_new / rTz
+        mu = cho_solve(cho, WtA @ z)
+        p = beta * p + z - W @ mu
+        res_new = jnp.sqrt(rTr)
+        res = c["res"].at[it].set(res_new)
+        it = it + 1
+
+        VtAV = VtAV.at[ivec, ivec].add(1.0 / alpha)
+        vcol = r / res_new if not precond else z / jnp.sqrt(rTz_new)
+        at_end = ivec == spdim - 1
+
+        def restart(args):
+            V, VtAV, first = args
+
+            def first_fix(VtAV):
+                block = WtA @ V[nvec:spdim].T        # (nvec, spdim-nvec)
+                return VtAV.at[:nvec, nvec:].set(block)
+
+            VtAV = jax.lax.cond(first, first_fix, lambda a: a, VtAV)
+            vals, QZ, nev = thick_restart_basis(VtAV, nvec, jnp.int32(spdim))
+            Vc = QZ.T @ V
+            V = V.at[:2 * nvec].set(Vc)
+            V = V.at[nev].set(vcol)
+            d = jnp.arange(2 * nvec)
+            VtAV = jnp.zeros_like(VtAV).at[d, d].set(vals)
+            VtAV = VtAV.at[nev, nev].set(beta / alpha)
+            return V, VtAV, nev, jnp.bool_(False), jnp.bool_(True)
+
+        def advance(args):
+            V, VtAV, first = args
+            iv = ivec + 1
+            V = V.at[iv].set(vcol)
+            VtAV = VtAV.at[ivec, iv].set(-jnp.sqrt(beta) / alpha)
+            VtAV = VtAV.at[iv, iv].set(beta / alpha)
+            return V, VtAV, iv, first, jnp.bool_(False)
+
+        V, VtAV, ivec, first, jr = jax.lax.cond(at_end, restart, advance,
+                                                (V, VtAV, first))
+        return dict(x=x, r=r, p=p, rTz=rTz_new, it=it, res=res, V=V,
+                    VtAV=VtAV, ivec=ivec, first=first, jr=jr)
+
+    c = jax.lax.while_loop(cond, body, carry)
+
+    if precond:
+        # post-loop harvest (defcg.jl:438-465)
+        def harvest(args):
+            V, VtAV = args
+            m = c["ivec"]
+
+            def first_fix(VtAV):
+                block = WtA @ V[nvec:spdim].T
+                colmask = (jnp.arange(nvec, spdim) < m)[None, :]
+                old = VtAV[:nvec, nvec:]
+                return VtAV.at[:nvec, nvec:].set(
+                    jnp.where(colmask, block, old))
+
+            VtAV = jax.lax.cond(c["first"], first_fix, lambda a: a, VtAV)
+            _, QZ, nev = thick_restart_basis(VtAV, nvec, m)
+            return V.at[:2 * nvec].set(QZ.T @ V)
+
+        do_h = (~c["jr"]) & (c["ivec"] > nvec)
+        V = jax.lax.cond(do_h, harvest, lambda a: a[0], (c["V"], c["VtAV"]))
+    else:
+        V = c["V"]
+    return c["x"], c["it"], c["res"], V[:nvec].T
+
+
+def eigdefcg(A, b, x=None, W=None, spdim: int = 32, maxit: int = 0,
+             rtol: float | None = None) -> SolveResult:
+    """eigDef-CG (defcg.jl:93-222): deflated solve + online eigenvector
+    refresh; W' returned for the next system in the sampled sequence."""
+    b = jnp.asarray(b)
+    W = jnp.asarray(W)
+    nvec = W.shape[1]
+    assert spdim >= 2 * nvec + 1
+    maxit = b.shape[0] if maxit == 0 else maxit
+    rtol = config.rtol if rtol is None else rtol
+    x0 = jnp.zeros_like(b) if x is None else jnp.asarray(x)
+    xs, it, res, Wn = _eigdef_impl(as_linear_op(A), as_precond_op(None), b,
+                                   x0, W, nvec, spdim, maxit, rtol,
+                                   False, False)
+    return SolveResult(x=xs, it=it, res_norm=res, W=Wn)
+
+
+def eigdefpcg(A, b, x=None, M=None, W=None, spdim: int = 32, maxit: int = 0,
+              rtol: float | None = None) -> SolveResult:
+    """eigDef-PCG (defcg.jl:313-473) — the paper's workhorse for MCMC chains
+    of correlated systems (SURVEY.md §3.4)."""
+    b = jnp.asarray(b)
+    W = jnp.asarray(W)
+    nvec = W.shape[1]
+    assert spdim >= 2 * nvec + 1
+    maxit = b.shape[0] if maxit == 0 else maxit
+    rtol = config.rtol if rtol is None else rtol
+    x0 = jnp.zeros_like(b) if x is None else jnp.asarray(x)
+    xs, it, res, Wn = _eigdef_impl(as_linear_op(A), as_precond_op(M), b, x0,
+                                   W, nvec, spdim, maxit, rtol, True, True)
+    return SolveResult(x=xs, it=it, res_norm=res, W=Wn)

@@ -1,0 +1,144 @@
+"""Fixed-shape eigCG restart machinery (shared by all recycling solvers).
+
+The reference's thick restart (RecyclingKrylovSolvers/eigcg.jl:83-101) is
+rank-dependent: it merges two least-dominant eigenbases of the projected
+tridiagonal, takes `nev = rank(Y)` (nvec <= nev <= 2nvec), and compresses the
+search space to nev vectors. Dynamic shapes are illegal under XLA, so here the
+whole computation runs at the static shapes (spdim, 2nvec) with *masking*:
+
+- Inactive coordinates are handled with a BIG diagonal shift: eigenpairs of
+  masked-out coordinates get eigenvalue > Gershgorin-bound(valid block), so
+  ascending `eigh` sorts every true least-dominant pair into the leading
+  columns. No rolls, no gathers, robust to tiny negative Ritz values.
+- `nev` is a traced int32; columns >= nev are zeroed and downstream updates
+  are masked the same way.
+
+This keeps one compiled program per (n, spdim, nvec) — iteration-count parity
+with the dynamic-shape reference is exercised in tests/test_recycling.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _sym(T):
+    return (T + T.T) / 2
+
+
+def masked_least_eigvecs(Tm, k: int, active):
+    """Least-dominant k eigenvectors of the active block of Tm.
+
+    Tm: (s, s) with valid block active×active (already zero outside).
+    active: (s,) bool mask. Returns (s, k) vectors supported on active coords.
+    """
+    s = Tm.shape[0]
+    big = 2.0 + jnp.sum(jnp.abs(Tm))
+    shifted = Tm + big * jnp.diag(jnp.where(active, 0.0, 1.0).astype(Tm.dtype))
+    _, U = jnp.linalg.eigh(shifted)
+    return U[:, :k]
+
+
+def thick_restart_basis(Tm, nvec: int, active_dim):
+    """eigCG restart: (vals, QZ, nev) at static shapes.
+
+    Tm: (spdim, spdim) projected operator, valid block of size active_dim
+    (traced int). Returns:
+      vals: (2nvec,) new Ritz values ascending, zero beyond nev
+      QZ:   (spdim, 2nvec) combination weights, columns >= nev zero
+      nev:  traced int32, rank of the merged double basis
+    """
+    spdim = Tm.shape[0]
+    dtype = Tm.dtype
+    i = jnp.arange(spdim)
+    act = i < active_dim
+    Tm0 = _sym(Tm) * act[:, None] * act[None, :]
+
+    Y1 = masked_least_eigvecs(Tm0, nvec, act)
+    act2 = i < (active_dim - 1)
+    Tm2 = Tm0 * act2[:, None] * act2[None, :]
+    Y2 = masked_least_eigvecs(Tm2, nvec, act2)
+    Y = jnp.concatenate([Y1, Y2], axis=1)              # (spdim, 2nvec)
+
+    U, s, _ = jnp.linalg.svd(Y, full_matrices=False)
+    # numpy matrix_rank convention: tol = s_max * max(M, N) * eps
+    eps = jnp.finfo(dtype).eps
+    tol = s[0] * max(spdim, 2 * nvec) * eps
+    nev = jnp.sum(s > tol).astype(jnp.int32)
+    colmask = (jnp.arange(2 * nvec) < nev).astype(dtype)
+
+    Q = U[:, :2 * nvec] * colmask[None, :]
+    H = Q.T @ Tm0 @ Q
+    big2 = 2.0 + jnp.sum(jnp.abs(H))
+    Hm = _sym(H) + big2 * jnp.diag(1.0 - colmask)
+    vals, Z = jnp.linalg.eigh(Hm)
+    vals = vals * colmask
+    QZ = (Q @ Z) * colmask[None, :]
+    return vals, QZ, nev
+
+
+def matrix_rank_tol(s, m: int, n: int):
+    """nev = rank from singular values with the numpy default tolerance."""
+    eps = jnp.finfo(s.dtype).eps
+    return jnp.sum(s > s[0] * max(m, n) * eps).astype(jnp.int32)
+
+
+def _masked_gen_eigvecs(S, T, k: int, active):
+    """First k generalized eigenvectors of (S, T) restricted to the active
+    block, at static shapes. T's active block must be SPD.
+
+    Masking: T gets identity on inactive coords (stays SPD), S gets a BIG
+    diagonal there so inactive pairs sort last under ascending eigh.
+    Returns (s, k) vectors supported on active coords.
+    """
+    dtype = S.dtype
+    actf = active.astype(dtype)
+    S0 = _sym(S) * actf[:, None] * actf[None, :]
+    T0 = _sym(T) * actf[:, None] * actf[None, :] + jnp.diag(1.0 - actf)
+    big = 2.0 + jnp.sum(jnp.abs(S0))
+    S0 = S0 + big * jnp.diag(1.0 - actf)
+    L = jnp.linalg.cholesky(T0)
+    Y = jax.scipy.linalg.solve_triangular(L, S0, lower=True)
+    B = jax.scipy.linalg.solve_triangular(L, Y.T, lower=True)
+    _, U = jnp.linalg.eigh(_sym(B))
+    V = jax.scipy.linalg.solve_triangular(L.T, U[:, :k], lower=False)
+    return V * actf[:, None]
+
+
+def ritz_basis_gen(S, T, nvec: int, active_dim):
+    """First nvec generalized Ritz vectors of (S, T) over the active block —
+    the single-basis RR/HR projection (rrdefpcg.jl:126-148,
+    hrdefpcg.jl:130-161). Returns coefs (s, nvec)."""
+    s = S.shape[0]
+    act = jnp.arange(s) < active_dim
+    return _masked_gen_eigvecs(S, T, nvec, act)
+
+
+def thick_restart_basis_gen(S, T, nvec: int, active_dim):
+    """LO-TR restart: double generalized basis + rank-SVD merge
+    (lotrrrdefpcg.jl:168-186). Returns (vals, QZ, nev) like
+    `thick_restart_basis` but for a generalized pair (S, T)."""
+    s = S.shape[0]
+    dtype = S.dtype
+    i = jnp.arange(s)
+    act = i < active_dim
+    actf = act.astype(dtype)
+    S0 = _sym(S) * actf[:, None] * actf[None, :]
+
+    Y1 = _masked_gen_eigvecs(S, T, nvec, act)
+    act2 = i < (active_dim - 1)
+    Y2 = _masked_gen_eigvecs(S, T, nvec, act2)
+    Y = jnp.concatenate([Y1, Y2], axis=1)
+
+    U, sv, _ = jnp.linalg.svd(Y, full_matrices=False)
+    nev = matrix_rank_tol(sv, s, 2 * nvec)
+    colmask = (jnp.arange(2 * nvec) < nev).astype(dtype)
+    Q = U[:, :2 * nvec] * colmask[None, :]
+    H = Q.T @ S0 @ Q
+    big2 = 2.0 + jnp.sum(jnp.abs(H))
+    Hm = _sym(H) + big2 * jnp.diag(1.0 - colmask)
+    vals, Z = jnp.linalg.eigh(Hm)
+    vals = vals * colmask
+    QZ = (Q @ Z) * colmask[None, :]
+    return vals, QZ, nev

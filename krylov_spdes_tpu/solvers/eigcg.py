@@ -1,0 +1,243 @@
+"""eigCG / eigPCG — CG with online eigenvector harvesting.
+
+Single-trace redesign of /root/reference/RecyclingKrylovSolvers/eigcg.jl
+(Stathopoulos & Orginos 2010): solves A x = b while extracting `nvec`
+approximate least-dominant eigenvectors of A (resp. M^{-1}A) from the
+iteration's tridiagonal, thick-restarting the (n, spdim) search space with the
+double-basis rank-SVD merge.
+
+TPU design:
+- Whole solve is one `lax.while_loop`; restart is a `lax.cond` branch doing
+  small dense eigh/svd (spdim ~ O(100)) on device.
+- The search space V is stored ROW-major (spdim, n): per-iteration writes are
+  contiguous dynamic row updates, and restart compression V <- (QZ)^T V is a
+  single (2nvec, spdim)x(spdim, n) matmul on the MXU.
+- The reference's `tvec` trick avoiding an extra matvec at restart
+  (eigcg.jl:69,77-80,100-102) is preserved.
+- Rank-dependent sizes are handled by masking (see eig_common.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import config
+from .base import SolveResult, as_linear_op, as_precond_op
+from .eig_common import thick_restart_basis
+
+
+def _apply_rows(A, V):
+    """Apply operator to each row of V: (s, n) -> (s, n)."""
+    return jax.vmap(A)(V)
+
+
+@partial(jax.jit, static_argnames=("nvec", "spdim", "maxit"))
+def _eigcg_impl(A, b, x0, nvec, spdim, maxit, rtol):
+    dtype = b.dtype
+    n = b.shape[0]
+    x = x0.astype(dtype)
+    V = jnp.zeros((spdim, n), dtype)
+    VtAV = jnp.zeros((spdim, spdim), dtype)
+
+    r = b - A(x)
+    rTr = jnp.vdot(r, r)
+    p = r
+    res0 = jnp.sqrt(rTr)
+    res_norm = jnp.zeros((maxit,), dtype).at[0].set(res0)
+    V = V.at[0].set(r / res0)
+    tol = rtol * jnp.linalg.norm(b)
+
+    carry = dict(x=x, r=r, p=p, rTr=rTr, it=jnp.int32(1), res=res_norm,
+                 V=V, VtAV=VtAV, tvec=jnp.zeros((n,), dtype),
+                 ivec=jnp.int32(0), jr=jnp.bool_(False))
+
+    def cond(c):
+        return (c["it"] < maxit) & (c["res"][c["it"] - 1] > tol)
+
+    def body(c):
+        x, r, p, rTr, it = c["x"], c["r"], c["p"], c["rTr"], c["it"]
+        V, VtAV, tvec, ivec, jr = c["V"], c["VtAV"], c["tvec"], c["ivec"], c["jr"]
+        res_prev = c["res"][it - 1]
+
+        Ap = A(p)
+        alpha = rTr / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rTr_new = jnp.vdot(r, r)
+        beta = rTr_new / rTr
+        at_end = ivec == spdim - 1
+        tvec = jnp.where(at_end, tvec - beta * Ap, tvec)
+        p = r + beta * p
+        res_new = jnp.sqrt(rTr_new)
+        res = c["res"].at[it].set(res_new)
+        it = it + 1
+
+        VtAV = VtAV.at[ivec, ivec].add(1.0 / alpha)
+
+        # just-restarted fixup: VtAV[:nev, ivec] = V[:nev] (tvec / res_prev)
+        # with nev = ivec (eigcg.jl:77-80)
+        def jr_fix(args):
+            VtAV, tvec = args
+            tvec = tvec + Ap
+            col = V @ (tvec / res_prev)
+            keep = jnp.arange(spdim) < ivec
+            return VtAV.at[:, ivec].set(jnp.where(keep, col, VtAV[:, ivec])), tvec
+
+        VtAV, tvec = jax.lax.cond(jr, jr_fix, lambda a: a, (VtAV, tvec))
+
+        def restart(args):
+            V, VtAV = args
+            vals, QZ, nev = thick_restart_basis(VtAV, nvec, jnp.int32(spdim))
+            Vc = QZ.T @ V                                  # (2nvec, n)
+            V = V.at[:2 * nvec].set(Vc)
+            V = V.at[nev].set(r / res_new)
+            d = jnp.arange(2 * nvec)
+            VtAV = jnp.zeros_like(VtAV).at[d, d].set(vals)
+            VtAV = VtAV.at[nev, nev].set(beta / alpha)
+            return V, VtAV, nev, -beta * Ap, jnp.bool_(True)
+
+        def advance(args):
+            V, VtAV = args
+            iv = ivec + 1
+            V = V.at[iv].set(r / res_new)
+            VtAV = VtAV.at[ivec, iv].set(-jnp.sqrt(beta) / alpha)
+            VtAV = VtAV.at[iv, iv].set(beta / alpha)
+            return V, VtAV, iv, tvec, jnp.bool_(False)
+
+        V, VtAV, ivec, tvec, jr = jax.lax.cond(at_end, restart, advance,
+                                               (V, VtAV))
+        return dict(x=x, r=r, p=p, rTr=rTr_new, it=it, res=res, V=V,
+                    VtAV=VtAV, tvec=tvec, ivec=ivec, jr=jr)
+
+    c = jax.lax.while_loop(cond, body, carry)
+    return c["x"], c["it"], c["res"], c["V"][:nvec].T
+
+
+def eigcg(A, b, x=None, nvec: int = 8, spdim: int = 32, maxit: int = 0,
+          rtol: float | None = None) -> SolveResult:
+    """eigCG (eigcg.jl:27-117). Returns W = nvec approximate least-dominant
+    eigenvectors of A alongside the solution."""
+    b = jnp.asarray(b)
+    assert spdim >= 2 * nvec + 1, "eigCG requires spdim >= 2 nvec + 1"
+    maxit = b.shape[0] if maxit == 0 else maxit
+    rtol = config.rtol if rtol is None else rtol
+    x0 = jnp.zeros_like(b) if x is None else jnp.asarray(x)
+    xs, it, res, W = _eigcg_impl(as_linear_op(A), b, x0, nvec, spdim, maxit,
+                                 rtol)
+    return SolveResult(x=xs, it=it, res_norm=res, W=W)
+
+
+@partial(jax.jit, static_argnames=("nvec", "spdim", "maxit"))
+def _eigpcg_impl(A, M, b, x0, nvec, spdim, maxit, rtol):
+    dtype = b.dtype
+    n = b.shape[0]
+    x = x0.astype(dtype)
+    V = jnp.zeros((spdim, n), dtype)
+    VtAV = jnp.zeros((spdim, spdim), dtype)
+
+    r = b - A(x)
+    rTr = jnp.vdot(r, r)
+    z = M(r)
+    rTz = jnp.vdot(r, z)
+    p = z
+    res0 = jnp.sqrt(rTr)
+    res_norm = jnp.zeros((maxit,), dtype).at[0].set(res0)
+    V = V.at[0].set(z / jnp.sqrt(rTz))
+    tol = rtol * jnp.linalg.norm(b)
+
+    carry = dict(x=x, r=r, p=p, z=z, rTz=rTz, it=jnp.int32(1), res=res_norm,
+                 V=V, VtAV=VtAV, tvec=jnp.zeros((n,), dtype),
+                 ivec=jnp.int32(0), jr=jnp.bool_(False),
+                 hlpr=jnp.zeros((), dtype))
+
+    def cond(c):
+        return (c["it"] < maxit) & (c["res"][c["it"] - 1] > tol)
+
+    def body(c):
+        x, r, p, z, rTz, it = c["x"], c["r"], c["p"], c["z"], c["rTz"], c["it"]
+        V, VtAV, tvec, ivec, jr, hlpr = (c["V"], c["VtAV"], c["tvec"],
+                                         c["ivec"], c["jr"], c["hlpr"])
+        Ap = A(p)
+        alpha = rTz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rTr = jnp.vdot(r, r)
+        z = M(r)
+        hlpr = jnp.where(jr, jnp.sqrt(rTz), hlpr)   # eigcg.jl:196-198
+        rTz_new = jnp.vdot(r, z)
+        beta = rTz_new / rTz
+        at_end = ivec == spdim - 1
+        tvec = jnp.where(at_end, tvec - beta * Ap, tvec)
+        p = z + beta * p
+        res_new = jnp.sqrt(rTr)
+        res = c["res"].at[it].set(res_new)
+        it = it + 1
+
+        VtAV = VtAV.at[ivec, ivec].add(1.0 / alpha)
+
+        def jr_fix(args):
+            VtAV, tvec = args
+            tvec = tvec + Ap
+            col = V @ (tvec / hlpr)
+            keep = jnp.arange(spdim) < ivec
+            return VtAV.at[:, ivec].set(jnp.where(keep, col, VtAV[:, ivec])), tvec
+
+        VtAV, tvec = jax.lax.cond(jr, jr_fix, lambda a: a, (VtAV, tvec))
+
+        def restart(args):
+            V, VtAV = args
+            # explicit VtAV = V A V^T recompute (eigcg.jl:211-219)
+            AV = _apply_rows(A, V)
+            VtAV_full = V @ AV.T
+            vals, QZ, nev = thick_restart_basis(VtAV_full, nvec,
+                                                jnp.int32(spdim))
+            Vc = QZ.T @ V
+            V = V.at[:2 * nvec].set(Vc)
+            V = V.at[nev].set(z / jnp.sqrt(rTz_new))
+            d = jnp.arange(2 * nvec)
+            VtAV = jnp.zeros_like(VtAV).at[d, d].set(vals)
+            VtAV = VtAV.at[nev, nev].set(beta / alpha)
+            return V, VtAV, nev, -beta * Ap, jnp.bool_(True)
+
+        def advance(args):
+            V, VtAV = args
+            iv = ivec + 1
+            V = V.at[iv].set(z / jnp.sqrt(rTz_new))
+            VtAV = VtAV.at[ivec, iv].set(-jnp.sqrt(beta) / alpha)
+            VtAV = VtAV.at[iv, iv].set(beta / alpha)
+            return V, VtAV, iv, tvec, jnp.bool_(False)
+
+        V, VtAV, ivec, tvec, jr = jax.lax.cond(at_end, restart, advance,
+                                               (V, VtAV))
+        return dict(x=x, r=r, p=p, z=z, rTz=rTz_new, it=it, res=res, V=V,
+                    VtAV=VtAV, tvec=tvec, ivec=ivec, jr=jr, hlpr=hlpr)
+
+    c = jax.lax.while_loop(cond, body, carry)
+
+    # post-loop harvest (eigcg.jl:248-264)
+    def harvest(args):
+        V, VtAV = args
+        m = c["ivec"]  # completed columns
+        vals, QZ, nev = thick_restart_basis(VtAV, nvec, m)
+        Vc = QZ.T @ V
+        return V.at[:2 * nvec].set(Vc)
+
+    do_h = (~c["jr"]) & (c["ivec"] > nvec)
+    V = jax.lax.cond(do_h, harvest, lambda a: a[0], (c["V"], c["VtAV"]))
+    return c["x"], c["it"], c["res"], V[:nvec].T
+
+
+def eigpcg(A, b, x=None, M=None, nvec: int = 8, spdim: int = 32,
+           maxit: int = 0, rtol: float | None = None) -> SolveResult:
+    """eigPCG (eigcg.jl:120-267): harvests eigenvectors of M^{-1}A."""
+    b = jnp.asarray(b)
+    assert spdim >= 2 * nvec + 1, "eigPCG requires spdim >= 2 nvec + 1"
+    maxit = b.shape[0] if maxit == 0 else maxit
+    rtol = config.rtol if rtol is None else rtol
+    x0 = jnp.zeros_like(b) if x is None else jnp.asarray(x)
+    xs, it, res, W = _eigpcg_impl(as_linear_op(A), as_precond_op(M), b, x0,
+                                  nvec, spdim, maxit, rtol)
+    return SolveResult(x=xs, it=it, res_norm=res, W=W)

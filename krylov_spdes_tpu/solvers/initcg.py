@@ -1,0 +1,51 @@
+"""Init-CG / Init-PCG: deflated initial guess, then plain (P)CG.
+
+Redesign of /root/reference/RecyclingKrylovSolvers/initcg.jl:28-159
+(Erhel & Guyomarc'h 2000). The reference's `initpcg` has a latent bug (`z`
+used before allocation, initcg.jl:134); the correct algorithm is implemented
+here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve
+
+from ..config import config
+from .base import SolveResult, as_linear_op, as_precond_op
+from .cg import _cg_impl, _pcg_impl
+
+
+@jax.jit
+def deflated_guess(A, b, x0, W):
+    """x0 + W (WᵀAW)⁻¹ Wᵀ(b - A x0)."""
+    WtA = jax.vmap(A, in_axes=1, out_axes=0)(W)
+    WtAW = WtA @ W
+    r = b - A(x0)
+    mu = cho_solve(cho_factor(WtAW), W.T @ r)
+    return x0 + W @ mu
+
+
+def initcg(A, b, x=None, W=None, maxit: int = 0,
+           rtol: float | None = None) -> SolveResult:
+    b = jnp.asarray(b)
+    maxit = b.shape[0] if maxit == 0 else maxit
+    rtol = config.rtol if rtol is None else rtol
+    x0 = jnp.zeros_like(b) if x is None else jnp.asarray(x)
+    Afn = as_linear_op(A)
+    x0 = deflated_guess(Afn, b, x0, jnp.asarray(W))
+    xs, it, res = _cg_impl(Afn, b, x0, maxit, rtol)
+    return SolveResult(x=xs, it=it, res_norm=res)
+
+
+def initpcg(A, b, x=None, W=None, M=None, maxit: int = 0,
+            rtol: float | None = None) -> SolveResult:
+    b = jnp.asarray(b)
+    maxit = b.shape[0] if maxit == 0 else maxit
+    rtol = config.rtol if rtol is None else rtol
+    x0 = jnp.zeros_like(b) if x is None else jnp.asarray(x)
+    Afn = as_linear_op(A)
+    x0 = deflated_guess(Afn, b, x0, jnp.asarray(W))
+    xs, it, res = _pcg_impl(Afn, as_precond_op(M), b, x0, maxit, rtol)
+    return SolveResult(x=xs, it=it, res_norm=res)

@@ -1,0 +1,74 @@
+"""Plain Lanczos Ritz-pair extraction.
+
+Redesign of /root/reference/RecyclingKrylovSolvers/eigen.jl:1-64: nvec
+reorthogonalization-free Lanczos steps, then `nev` most- (:MD) or least- (:LD)
+dominant Ritz pairs with residual estimates |β·y_last|. The Lanczos recurrence
+runs as a `lax.fori_loop` (fixed nvec steps); the tridiagonal eigensolve is a
+tiny on-device eigh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .base import SolveResult, as_linear_op
+
+
+@partial(jax.jit, static_argnames=("nev", "nvec", "which"))
+def _lanczos_impl(A, v0, nev, nvec, which):
+    n = v0.shape[0]
+    dtype = v0.dtype
+    V = jnp.zeros((nvec, n), dtype)
+    v1 = v0 / jnp.linalg.norm(v0)
+    V = V.at[0].set(v1)
+    p = A(v1)
+    alpha = jnp.vdot(v1, p)
+    diag = jnp.zeros((nvec,), dtype).at[0].set(alpha)
+    off = jnp.zeros((nvec - 1,), dtype)
+
+    def body(i, carry):
+        V, p, alpha, beta, diag, off = carry
+        w = p - alpha * V[i] - jnp.where(i > 0, beta, 0.0) * V[i - 1]
+        beta = jnp.linalg.norm(w)
+        vi = w / beta
+        V = V.at[i + 1].set(vi)
+        p = A(vi)
+        alpha = jnp.vdot(vi, p)
+        diag = diag.at[i + 1].set(alpha)
+        off = off.at[i].set(beta)
+        return V, p, alpha, beta, diag, off
+
+    V, p, alpha, beta, diag, off = jax.lax.fori_loop(
+        0, nvec - 1, body, (V, p, alpha, jnp.zeros((), dtype), diag, off))
+
+    w = p - alpha * V[nvec - 1] - beta * V[nvec - 2]
+    beta = jnp.linalg.norm(w)
+
+    T = jnp.diag(diag) + jnp.diag(off, 1) + jnp.diag(off, -1)
+    vals, vecs = jnp.linalg.eigh(T)   # ascending
+    if which == "MD":
+        idx = jnp.arange(nvec - 1, nvec - 1 - nev, -1)
+    else:  # least dominant
+        idx = jnp.arange(nev)
+    sel_vals = vals[idx]
+    sel_vecs = vecs[:, idx]
+    Y = (sel_vecs.T @ V).T                      # (n, nev)
+    res = jnp.abs(beta * sel_vecs[nvec - 1, :])
+    return sel_vals, Y, res
+
+
+def lanczos(A, n=None, nev: int = 5, nvec: int = 30, which: str = "MD",
+            key=None):
+    """Returns (vals, Y, res): nev Ritz values/vectors + residual estimates."""
+    Afn = as_linear_op(A)
+    if n is None:
+        n = A.shape[0]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    dtype = getattr(A, "data", jnp.zeros(1)).dtype if hasattr(A, "data") \
+        else jnp.float64
+    v0 = jax.random.uniform(key, (n,), dtype)
+    return _lanczos_impl(Afn, v0, nev, nvec, which)

@@ -1,0 +1,245 @@
+"""The RR/HR × {post, TR, LO-TR} deflation-recycler family (12 solvers).
+
+Unified redesign of /root/reference/RecyclingKrylovSolvers/
+{rrdefpcg,hrdefpcg,trrrdefpcg,trhrdefpcg,lotrrrdefpcg,lotrhrdefpcg}.jl and the
+six no-deflation bootstrap variants, per SURVEY.md §2.1 C23-C26: all share one
+deflated-PCG skeleton; what varies is
+
+  projection   RR: Ritz over V, new W2 = least gen-eigvecs of (VᵀAV, I)
+               HR: harmonic Ritz, gen-eigvecs of (VᵀA M⁻¹A V, VᵀAV)
+  window       RR stores normalized preconditioned residuals z/√(rᵀz);
+               HR stores search directions p
+  schedule     post: one projection after the solve
+               tr: in-loop thick restart whenever the window fills
+               lotr: like tr, but with the eigCG double-basis rank-SVD merge
+               letting the kept count nev grow in [nvec, 2nvec]
+
+TPU design: ONE buffer V (spdim, n) holds [W2 rows | window rows]; the kept
+count `nev` is a traced int (0 for bootstrap starts, nvec for deflated starts,
+rank-dependent for lotr) and row-writes use dynamic indices. Restart work is
+spdim matvecs (a multi-RHS SpMV) + dense spdim×spdim factorizations — MXU
+food. Unlike the reference, a partially filled window at the (post-schedule)
+final projection is masked out rather than reading undefined memory.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve
+
+from ..config import config
+from .base import SolveResult, as_linear_op, as_precond_op
+from .eig_common import _sym, ritz_basis_gen, thick_restart_basis_gen
+
+
+def _blockdiag_mask(G, nev):
+    """HR right-hand metric: keep the leading nev×nev block and the diagonal
+    (search directions are A-conjugate: PᵀAP is diagonal, hrdefpcg.jl:148-155)."""
+    s = G.shape[0]
+    i = jnp.arange(s)
+    keep = ((i[:, None] < nev) & (i[None, :] < nev)) | (i[:, None] == i[None, :])
+    return jnp.where(keep, G, 0.0)
+
+
+@partial(jax.jit, static_argnames=("proj", "schedule", "deflated", "nvec",
+                                   "spdim", "maxit"))
+def _recycler_impl(A, M, b, x0, W, proj, schedule, deflated, nvec, spdim,
+                   maxit, rtol):
+    dtype = b.dtype
+    n = b.shape[0]
+    x = x0.astype(dtype)
+
+    if deflated:
+        WtA = jax.vmap(A, in_axes=1, out_axes=0)(W)     # (nvec, n)
+        WtAW = WtA @ W
+        cho_a = cho_factor(WtAW)
+        cho_w = cho_factor(W.T @ W)
+        r = b - A(x)
+        x = x + W @ cho_solve(cho_a, W.T @ r)
+
+        def deflate_dir(z):
+            return z - W @ cho_solve(cho_a, WtA @ z)
+
+        def reorth(r):
+            return r - W @ cho_solve(cho_w, W.T @ r)
+    else:
+        def deflate_dir(z):
+            return z
+
+        def reorth(r):
+            return r
+
+    r = b - A(x)
+    rTr = jnp.vdot(r, r)
+    z = M(r)
+    rTz = jnp.vdot(r, z)
+    p = deflate_dir(z)
+    res0 = jnp.sqrt(rTr)
+    res_norm = jnp.zeros((maxit,), dtype).at[0].set(res0)
+    tol = rtol * jnp.linalg.norm(b)
+
+    V = jnp.zeros((spdim, n), dtype)
+    nev0 = nvec if deflated else 0
+    if deflated:
+        V = V.at[:nvec].set(W.T)
+    w0 = z / jnp.sqrt(rTz) if proj == "rr" else p
+    V = V.at[nev0].set(w0)
+
+    def do_projection(V, active_dim, nev):
+        """Compute the new deflation rows of V. Returns (V, nev_new)."""
+        AV = jax.vmap(A)(V)                      # (spdim, n)
+        G = V @ AV.T                             # VᵀAV
+        if proj == "rr":
+            S, T = _sym(G), jnp.eye(spdim, dtype=dtype)
+        else:
+            MAV = jax.vmap(M)(AV)
+            S, T = _sym(AV @ MAV.T), _blockdiag_mask(_sym(G), nev)
+        if schedule == "lotr":
+            _, QZ, nev_new = thick_restart_basis_gen(S, T, nvec, active_dim)
+            V = V.at[:2 * nvec].set(QZ.T @ V)
+            return V, nev_new
+        coefs = ritz_basis_gen(S, T, nvec, active_dim)   # (spdim, nvec)
+        V = V.at[:nvec].set(coefs.T @ V)
+        return V, jnp.int32(nvec)
+
+    carry = dict(x=x, r=r, p=p, rTz=rTz, it=jnp.int32(1), res=res_norm,
+                 V=V, nev=jnp.int32(nev0), wcount=jnp.int32(1))
+
+    def cond(c):
+        return (c["it"] < maxit) & (c["res"][c["it"] - 1] > tol)
+
+    def body(c):
+        x, r, p, rTz, it = c["x"], c["r"], c["p"], c["rTz"], c["it"]
+        V, nev, wcount = c["V"], c["nev"], c["wcount"]
+        Ap = A(p)
+        alpha = rTz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        r = reorth(r)
+        rTr = jnp.vdot(r, r)
+        z = M(r)
+        rTz_new = jnp.vdot(r, z)
+        beta = rTz_new / rTz
+        p = beta * p + deflate_dir(z)
+        res = c["res"].at[it].set(jnp.sqrt(rTr))
+        it = it + 1
+
+        wvec = z / jnp.sqrt(rTz_new) if proj == "rr" else p
+        if schedule == "post":
+            # fill while room remains; never restart in-loop
+            row = nev + wcount
+            V2 = V.at[jnp.minimum(row, spdim - 1)].set(wvec)
+            V = jnp.where(row < spdim, V2, V)
+            wcount = jnp.minimum(wcount + 1, jnp.int32(spdim - nev0))
+        else:
+            V = V.at[nev + wcount].set(wvec)
+            wcount = wcount + 1
+
+            def restart(args):
+                V, nev = args
+                V, nev_new = do_projection(V, jnp.int32(spdim), nev)
+                return V, nev_new, jnp.int32(0)
+
+            def no_restart(args):
+                V, nev = args
+                return V, nev, wcount
+
+            V, nev, wcount = jax.lax.cond(nev + wcount == spdim, restart,
+                                          no_restart, (V, nev))
+        return dict(x=x, r=r, p=p, rTz=rTz_new, it=it, res=res, V=V,
+                    nev=nev, wcount=wcount)
+
+    c = jax.lax.while_loop(cond, body, carry)
+
+    V, nev, wcount = c["V"], c["nev"], c["wcount"]
+    if schedule == "post":
+        V, _ = do_projection(V, nev + wcount, nev)
+    else:
+        # if the loop ended mid-window with no projection yet (bootstrap
+        # variants), fall back to projecting what we have
+        if not deflated:
+            def final_proj(args):
+                V, nev = args
+                Vp, _ = do_projection(V, nev + wcount, nev)
+                return Vp
+
+            V = jax.lax.cond(nev == 0, final_proj, lambda a: a[0], (V, nev))
+    return c["x"], c["it"], c["res"], V[:nvec].T
+
+
+def _run(A, b, x, W, M, proj, schedule, nvec, spdim, maxit, rtol):
+    b = jnp.asarray(b)
+    deflated = W is not None
+    if deflated:
+        W = jnp.asarray(W)
+        nvec = W.shape[1]
+    else:
+        W = jnp.zeros((b.shape[0], nvec), b.dtype)
+    if schedule == "lotr":
+        assert spdim >= 2 * nvec + 1, "LO-TR requires spdim >= 2 nvec + 1"
+    else:
+        assert spdim > nvec, "recyclers require spdim > nvec"
+    maxit = b.shape[0] if maxit == 0 else maxit
+    rtol = config.rtol if rtol is None else rtol
+    x0 = jnp.zeros_like(b) if x is None else jnp.asarray(x)
+    xs, it, res, W2 = _recycler_impl(
+        as_linear_op(A), as_precond_op(M), b, x0, W, proj, schedule,
+        deflated, nvec, spdim, maxit, rtol)
+    return SolveResult(x=xs, it=it, res_norm=res, W=W2)
+
+
+# --- deflated variants (rrdefpcg.jl:48, hrdefpcg.jl:48, trrrdefpcg.jl:48,
+#     trhrdefpcg.jl:48, lotrrrdefpcg.jl:48, lotrhrdefpcg.jl:48) -------------
+
+def rrdefpcg(A, b, x=None, W=None, M=None, spdim=32, maxit=0, rtol=None):
+    return _run(A, b, x, W, M, "rr", "post", None, spdim, maxit, rtol)
+
+
+def hrdefpcg(A, b, x=None, W=None, M=None, spdim=32, maxit=0, rtol=None):
+    return _run(A, b, x, W, M, "hr", "post", None, spdim, maxit, rtol)
+
+
+def trrrdefpcg(A, b, x=None, W=None, M=None, spdim=32, maxit=0, rtol=None):
+    return _run(A, b, x, W, M, "rr", "tr", None, spdim, maxit, rtol)
+
+
+def trhrdefpcg(A, b, x=None, W=None, M=None, spdim=32, maxit=0, rtol=None):
+    return _run(A, b, x, W, M, "hr", "tr", None, spdim, maxit, rtol)
+
+
+def lotrrrdefpcg(A, b, x=None, W=None, M=None, spdim=32, maxit=0, rtol=None):
+    return _run(A, b, x, W, M, "rr", "lotr", None, spdim, maxit, rtol)
+
+
+def lotrhrdefpcg(A, b, x=None, W=None, M=None, spdim=32, maxit=0, rtol=None):
+    return _run(A, b, x, W, M, "hr", "lotr", None, spdim, maxit, rtol)
+
+
+# --- bootstrap variants (no initial deflation space; rrdefpcg.jl:200,
+#     hrdefpcg.jl:214, trrrdefpcg.jl:230, trhrdefpcg.jl:245, ...) -----------
+
+def rrpcg(A, b, x=None, M=None, nvec=8, spdim=32, maxit=0, rtol=None):
+    return _run(A, b, x, None, M, "rr", "post", nvec, spdim, maxit, rtol)
+
+
+def hrpcg(A, b, x=None, M=None, nvec=8, spdim=32, maxit=0, rtol=None):
+    return _run(A, b, x, None, M, "hr", "post", nvec, spdim, maxit, rtol)
+
+
+def trrrpcg(A, b, x=None, M=None, nvec=8, spdim=32, maxit=0, rtol=None):
+    return _run(A, b, x, None, M, "rr", "tr", nvec, spdim, maxit, rtol)
+
+
+def trhrpcg(A, b, x=None, M=None, nvec=8, spdim=32, maxit=0, rtol=None):
+    return _run(A, b, x, None, M, "hr", "tr", nvec, spdim, maxit, rtol)
+
+
+def lotrrrpcg(A, b, x=None, M=None, nvec=8, spdim=32, maxit=0, rtol=None):
+    return _run(A, b, x, None, M, "rr", "lotr", nvec, spdim, maxit, rtol)
+
+
+def lotrhrpcg(A, b, x=None, M=None, nvec=8, spdim=32, maxit=0, rtol=None):
+    return _run(A, b, x, None, M, "hr", "lotr", nvec, spdim, maxit, rtol)

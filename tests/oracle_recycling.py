@@ -1,0 +1,412 @@
+"""NumPy oracle for the recycling Krylov family (dynamic shapes, scalar code).
+
+Transcribes the *math* of /root/reference/RecyclingKrylovSolvers/{eigcg,defcg,
+initcg}.jl for tiny-problem parity tests of the fixed-shape JAX solvers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EPS = 1e-7
+
+
+def _restart_basis(Tm, nvec):
+    """eigCG thick-restart: double least-dominant basis + rank-SVD merge
+    (eigcg.jl:83-101). Returns (vals, QZ, nev)."""
+    spdim = Tm.shape[0]
+    Y = np.zeros((spdim, 2 * nvec))
+    w, U = np.linalg.eigh(Tm)
+    Y[:, :nvec] = U[:, :nvec]
+    w2, U2 = np.linalg.eigh(Tm[:spdim - 1, :spdim - 1])
+    Y[:spdim - 1, nvec:] = U2[:, :nvec]
+    nev = np.linalg.matrix_rank(Y)
+    Q = np.linalg.svd(Y, full_matrices=False)[0][:, :nev]
+    H = Q.T @ Tm @ Q
+    vals, Z = np.linalg.eigh((H + H.T) / 2)
+    QZ = Q @ Z
+    return vals, QZ, nev
+
+
+def eigcg(A, b, x, nvec, spdim, maxit=0):
+    """eigcg.jl:27-117."""
+    n = b.shape[0]
+    maxit = n if maxit == 0 else maxit
+    x = x.astype(float).copy()
+    V = np.zeros((n, spdim))
+    VtAV = np.zeros((spdim, spdim))
+    tvec = np.zeros(n)
+    just_restarted = False
+
+    r = b - A @ x
+    rTr = r @ r
+    p = r.copy()
+    res = [np.sqrt(rTr)]
+    it = 1
+    ivec = 0  # 0-based index of current column
+    V[:, 0] = r / res[0]
+    tol = EPS * np.linalg.norm(b)
+
+    while it < maxit and res[-1] > tol:
+        Ap = A @ p
+        alpha = rTr / (p @ Ap)
+        beta = 1.0 / rTr
+        x += alpha * p
+        r -= alpha * Ap
+        rTr = r @ r
+        beta *= rTr
+        if ivec == spdim - 1:
+            tvec -= beta * Ap
+        p = r + beta * p
+        it += 1
+        res.append(np.sqrt(rTr))
+
+        VtAV[ivec, ivec] += 1.0 / alpha
+        if just_restarted:
+            tvec += Ap
+            nev = ivec
+            VtAV[:nev, ivec] = V[:, :nev].T @ (tvec / res[-2])
+            just_restarted = False
+
+        if ivec == spdim - 1:
+            Tm = (VtAV + VtAV.T) / 2
+            vals, QZ, nev = _restart_basis(Tm, nvec)
+            V[:, :nev] = V @ QZ[:, :nev]
+            ivec = nev
+            V[:, ivec] = r / res[-1]
+            VtAV[:] = 0
+            VtAV[:nev, :nev] = np.diag(vals[:nev])
+            VtAV[ivec, ivec] = beta / alpha
+            tvec = -beta * Ap
+            just_restarted = True
+        else:
+            ivec += 1
+            V[:, ivec] = r / res[-1]
+            VtAV[ivec - 1, ivec] = -np.sqrt(beta) / alpha
+            VtAV[ivec, ivec] = beta / alpha
+
+    return x, it, np.array(res), V[:, :nvec].copy()
+
+
+def eigpcg(A, b, x, Msolve, nvec, spdim, maxit=0):
+    """eigcg.jl:120-267 (incl. post-loop harvest)."""
+    n = b.shape[0]
+    maxit = n if maxit == 0 else maxit
+    x = x.astype(float).copy()
+    V = np.zeros((n, spdim))
+    VtAV = np.zeros((spdim, spdim))
+    tvec = np.zeros(n)
+    just_restarted = False
+
+    r = b - A @ x
+    rTr = r @ r
+    z = Msolve(r)
+    rTz = r @ z
+    p = z.copy()
+    res = [np.sqrt(rTr)]
+    it = 1
+    ivec = 0
+    V[:, 0] = z / np.sqrt(rTz)
+    tol = EPS * np.linalg.norm(b)
+    hlpr = 0.0
+
+    while it < maxit and res[-1] > tol:
+        Ap = A @ p
+        alpha = rTz / (p @ Ap)
+        beta = 1.0 / rTz
+        x += alpha * p
+        r -= alpha * Ap
+        rTr = r @ r
+        z = Msolve(r)
+        if just_restarted:
+            hlpr = np.sqrt(rTz)
+        rTz = r @ z
+        beta *= rTz
+        if ivec == spdim - 1:
+            tvec -= beta * Ap
+        p = z + beta * p
+        it += 1
+        res.append(np.sqrt(rTr))
+
+        VtAV[ivec, ivec] += 1.0 / alpha
+        if just_restarted:
+            tvec += Ap
+            nev = ivec
+            VtAV[:nev, ivec] = V[:, :nev].T @ (tvec / hlpr)
+            just_restarted = False
+
+        if ivec == spdim - 1:
+            AV = A @ V
+            VtAV = V.T @ AV
+            Tm = (VtAV + VtAV.T) / 2
+            vals, QZ, nev = _restart_basis(Tm, nvec)
+            V[:, :nev] = V @ QZ[:, :nev]
+            ivec = nev
+            V[:, ivec] = z / np.sqrt(rTz)
+            VtAV = np.zeros((spdim, spdim))
+            VtAV[:nev, :nev] = np.diag(vals[:nev])
+            VtAV[ivec, ivec] = beta / alpha
+            tvec = -beta * Ap
+            just_restarted = True
+        else:
+            ivec += 1
+            V[:, ivec] = z / np.sqrt(rTz)
+            VtAV[ivec - 1, ivec] = -np.sqrt(beta) / alpha
+            VtAV[ivec, ivec] = beta / alpha
+
+    if not just_restarted:
+        if ivec > nvec:
+            # ivec valid columns (0..ivec-1 filled fully; current col ivec
+            # dropped, matching eigcg.jl:248-252's `ivec -= 1`)
+            m = ivec
+            Tm = (VtAV[:m, :m] + VtAV[:m, :m].T) / 2
+            Y = np.zeros((m, 2 * nvec))
+            w, U = np.linalg.eigh(Tm)
+            Y[:, :nvec] = U[:, :nvec]
+            w2, U2 = np.linalg.eigh(Tm[:m - 1, :m - 1])
+            Y[:m - 1, nvec:] = U2[:, :nvec]
+            nev = np.linalg.matrix_rank(Y)
+            Q = np.linalg.svd(Y, full_matrices=False)[0][:, :nev]
+            H = Q.T @ Tm @ Q
+            vals, Z = np.linalg.eigh((H + H.T) / 2)
+            V[:, :nev] = V[:, :m] @ (Q @ Z)
+    return x, it, np.array(res), V[:, :nvec].copy()
+
+
+def defcg(A, b, x, W, maxit=0):
+    """defcg.jl:24-90."""
+    n, nvec = W.shape
+    maxit = n if maxit == 0 else maxit
+    x = x.astype(float).copy()
+    WtA = (A @ W).T
+    WtAW = WtA @ W
+    r = b - A @ x
+    mu = np.linalg.solve(WtAW, W.T @ r)
+    x += W @ mu
+    it = 1
+    r = b - A @ x
+    rTr = r @ r
+    mu = np.linalg.solve(WtAW, WtA @ r)
+    p = r - W @ mu
+    res = [np.sqrt(rTr)]
+    tol = EPS * np.linalg.norm(b)
+    while it < maxit and res[-1] > tol:
+        Ap = A @ p
+        alpha = rTr / (p @ Ap)
+        x += alpha * p
+        r -= alpha * Ap
+        rTr_new = r @ r
+        beta = rTr_new / rTr
+        rTr = rTr_new
+        mu = np.linalg.solve(WtAW, WtA @ r)
+        p = beta * p + r - W @ mu
+        it += 1
+        res.append(np.sqrt(rTr))
+    return x, it, np.array(res)
+
+
+def defpcg(A, b, x, W, Msolve, maxit=0):
+    """defcg.jl:225-310."""
+    n, nvec = W.shape
+    maxit = n if maxit == 0 else maxit
+    x = x.astype(float).copy()
+    WtA = (A @ W).T
+    WtAW = WtA @ W
+    r = b - A @ x
+    mu = np.linalg.solve(WtAW, W.T @ r)
+    x += W @ mu
+    it = 1
+    r = b - A @ x
+    rTr = r @ r
+    res = [np.sqrt(rTr)]
+    z = Msolve(r)
+    rTz = r @ z
+    mu = np.linalg.solve(WtAW, WtA @ z)
+    p = z - W @ mu
+    tol = EPS * np.linalg.norm(b)
+    while it < maxit and res[-1] > tol:
+        Ap = A @ p
+        alpha = rTz / (p @ Ap)
+        x += alpha * p
+        r -= alpha * Ap
+        rTr = r @ r
+        z = Msolve(r)
+        rTz_new = r @ z
+        beta = rTz_new / rTz
+        rTz = rTz_new
+        mu = np.linalg.solve(WtAW, WtA @ z)
+        p = beta * p + z - W @ mu
+        it += 1
+        res.append(np.sqrt(rTr))
+    return x, it, np.array(res)
+
+
+def eigdefcg(A, b, x, W, spdim, maxit=0):
+    """defcg.jl:93-222 (RR-LO-TR-Def-CG, a.k.a. eigDef-CG)."""
+    n, nvec = W.shape
+    maxit = n if maxit == 0 else maxit
+    x = x.astype(float).copy()
+    WtA = (A @ W).T
+    WtAW = WtA @ W
+    r = b - A @ x
+    mu = np.linalg.solve(WtAW, W.T @ r)
+    x += W @ mu
+
+    V = np.zeros((n, spdim))
+    VtAV = np.zeros((spdim, spdim))
+    first_restart = True
+
+    it = 1
+    r = b - A @ x
+    rTr = r @ r
+    mu = np.linalg.solve(WtAW, WtA @ r)
+    p = r - W @ mu
+    res = [np.sqrt(rTr)]
+    VtAV[:nvec, :nvec] = WtAW
+    V[:, :nvec] = W
+    ivec = nvec
+    V[:, ivec] = r / res[0]
+    tol = EPS * np.linalg.norm(b)
+
+    while it < maxit and res[-1] > tol:
+        Ap = A @ p
+        alpha = rTr / (p @ Ap)
+        beta = 1.0 / rTr
+        x += alpha * p
+        r -= alpha * Ap
+        rTr = r @ r
+        beta *= rTr
+        mu = np.linalg.solve(WtAW, WtA @ r)
+        p = beta * p + r - W @ mu
+        it += 1
+        res.append(np.sqrt(rTr))
+
+        VtAV[ivec, ivec] += 1.0 / alpha
+        if ivec == spdim - 1:
+            if first_restart:
+                VtAV[:nvec, nvec:spdim] = WtA @ V[:, nvec:spdim]
+                first_restart = False
+            Tm = (VtAV + VtAV.T) / 2
+            vals, QZ, nev = _restart_basis(Tm, nvec)
+            V[:, :nev] = V @ QZ[:, :nev]
+            ivec = nev
+            V[:, ivec] = r / res[-1]
+            VtAV = np.zeros((spdim, spdim))
+            VtAV[:nev, :nev] = np.diag(vals[:nev])
+            VtAV[ivec, ivec] = beta / alpha
+        else:
+            ivec += 1
+            V[:, ivec] = r / res[-1]
+            VtAV[ivec - 1, ivec] = -np.sqrt(beta) / alpha
+            VtAV[ivec, ivec] = beta / alpha
+    return x, it, np.array(res), V[:, :nvec].copy()
+
+
+def eigdefpcg(A, b, x, W, Msolve, spdim, maxit=0):
+    """defcg.jl:313-473 (RR-LO-TR-Def-PCG, a.k.a. eigDef-PCG)."""
+    n, nvec = W.shape
+    maxit = n if maxit == 0 else maxit
+    x = x.astype(float).copy()
+    WtA = (A @ W).T
+    WtAW = WtA @ W
+    WtW = W.T @ W
+    r = b - A @ x
+    mu = np.linalg.solve(WtAW, W.T @ r)
+    x += W @ mu
+
+    V = np.zeros((n, spdim))
+    VtAV = np.zeros((spdim, spdim))
+    first_restart = True
+    just_restarted = False
+
+    it = 1
+    r = b - A @ x
+    rTr = r @ r
+    z = Msolve(r)
+    rTz = r @ z
+    mu = np.linalg.solve(WtAW, WtA @ z)
+    p = z - W @ mu
+    res = [np.sqrt(rTr)]
+    VtAV[:nvec, :nvec] = WtAW
+    V[:, :nvec] = W
+    ivec = nvec
+    V[:, ivec] = z / np.sqrt(rTz)
+    tol = EPS * np.linalg.norm(b)
+
+    while it < maxit and res[-1] > tol:
+        Ap = A @ p
+        alpha = rTz / (p @ Ap)
+        beta = 1.0 / rTz
+        x += alpha * p
+        r -= alpha * Ap
+        r -= W @ np.linalg.solve(WtW, W.T @ r)
+        rTr = r @ r
+        z = Msolve(r)
+        rTz = r @ z
+        beta *= rTz
+        mu = np.linalg.solve(WtAW, WtA @ z)
+        p = beta * p + z - W @ mu
+        it += 1
+        res.append(np.sqrt(rTr))
+
+        VtAV[ivec, ivec] += 1.0 / alpha
+        if ivec == spdim - 1:
+            if first_restart:
+                VtAV[:nvec, nvec:spdim] = WtA @ V[:, nvec:spdim]
+                first_restart = False
+            Tm = (VtAV + VtAV.T) / 2
+            vals, QZ, nev = _restart_basis(Tm, nvec)
+            V[:, :nev] = V @ QZ[:, :nev]
+            ivec = nev
+            V[:, ivec] = z / np.sqrt(rTz)
+            VtAV = np.zeros((spdim, spdim))
+            VtAV[:nev, :nev] = np.diag(vals[:nev])
+            VtAV[ivec, ivec] = beta / alpha
+            just_restarted = True
+        else:
+            just_restarted = False
+            ivec += 1
+            V[:, ivec] = z / np.sqrt(rTz)
+            VtAV[ivec - 1, ivec] = -np.sqrt(beta) / alpha
+            VtAV[ivec, ivec] = beta / alpha
+
+    if not just_restarted and ivec > nvec:
+        m = ivec
+        if first_restart:
+            VtAV[:nvec, nvec:m] = WtA @ V[:, nvec:m]
+        Tm = (VtAV[:m, :m] + VtAV[:m, :m].T) / 2
+        Y = np.zeros((m, 2 * nvec))
+        w, U = np.linalg.eigh(Tm)
+        Y[:, :nvec] = U[:, :nvec]
+        w2, U2 = np.linalg.eigh(Tm[:m - 1, :m - 1])
+        Y[:m - 1, nvec:] = U2[:, :nvec]
+        nev = np.linalg.matrix_rank(Y)
+        Q = np.linalg.svd(Y, full_matrices=False)[0][:, :nev]
+        H = Q.T @ Tm @ Q
+        vals, Z = np.linalg.eigh((H + H.T) / 2)
+        V[:, :nev] = V[:, :m] @ (Q @ Z)
+    return x, it, np.array(res), V[:, :nvec].copy()
+
+
+def initcg(A, b, x, W, maxit=0):
+    """initcg.jl:28-96: deflated initial guess, then plain CG."""
+    from oracle import cg as _cg
+    x = x.astype(float).copy()
+    WtA = (A @ W).T
+    WtAW = WtA @ W
+    r = b - A @ x
+    mu = np.linalg.solve(WtAW, W.T @ r)
+    x += W @ mu
+    return _cg(A, b, x, maxit=maxit)
+
+
+def initpcg(A, b, x, W, Msolve, maxit=0):
+    """initcg.jl:99-159 (the reference's `z` pre-allocation bug fixed)."""
+    from oracle import pcg as _pcg
+    x = x.astype(float).copy()
+    WtA = (A @ W).T
+    WtAW = WtA @ W
+    r = b - A @ x
+    mu = np.linalg.solve(WtAW, W.T @ r)
+    x += W @ mu
+    return _pcg(A, b, x, Msolve, maxit=maxit)

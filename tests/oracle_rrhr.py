@@ -1,0 +1,147 @@
+"""NumPy oracle for the RR/HR recycler family (dynamic shapes).
+
+Transcribes /root/reference/RecyclingKrylovSolvers/{rrdefpcg,hrdefpcg,
+trrrdefpcg}.jl math for parity tests.
+"""
+
+import numpy as np
+from scipy.linalg import eigh
+
+EPS = 1e-7
+
+
+def _defpcg_loop(A, b, x, W, Msolve, maxit, collect, window_len, cyclic):
+    """Shared deflated-PCG loop with residual reorth; collects window vectors.
+
+    collect(z, rTz, p) -> vector to store. Returns (x, it, res, window list in
+    slot order, n_filled_slots)."""
+    n, nvec = W.shape
+    WtA = (A @ W).T
+    WtAW = WtA @ W
+    WtW = W.T @ W
+    r = b - A @ x
+    x = x + W @ np.linalg.solve(WtAW, W.T @ r)
+    it = 1
+    r = b - A @ x
+    rTr = r @ r
+    res = [np.sqrt(rTr)]
+    z = Msolve(r)
+    rTz = r @ z
+    p = z - W @ np.linalg.solve(WtAW, WtA @ z)
+    slots = [None] * window_len
+    slots[0] = collect(z, rTz, p)
+    tol = EPS * np.linalg.norm(b)
+    events = []   # restart iteration indices (slot full)
+    while it < maxit and res[-1] > tol:
+        Ap = A @ p
+        alpha = rTz / (p @ Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        r = r - W @ np.linalg.solve(WtW, W.T @ r)
+        rTr = r @ r
+        z = Msolve(r)
+        rTz_new = r @ z
+        beta = rTz_new / rTz
+        rTz = rTz_new
+        p = beta * p + z - W @ np.linalg.solve(WtAW, WtA @ z)
+        it += 1
+        res.append(np.sqrt(rTr))
+        if cyclic:
+            slot = (it - 1) % window_len
+            slots[slot] = collect(z, rTz, p)
+            if slot == window_len - 1:
+                events.append((it, [s.copy() for s in slots]))
+        else:
+            if it - 1 < window_len:
+                slots[it - 1] = collect(z, rTz, p)
+    return x, it, np.array(res), slots, events
+
+
+def rrdefpcg(A, b, x, W, Msolve, spdim, maxit=0):
+    n, nvec = W.shape
+    maxit = n if maxit == 0 else maxit
+    x = x.astype(float).copy()
+    m_w = spdim - nvec
+    x, it, res, slots, _ = _defpcg_loop(
+        A, b, x, W, Msolve, maxit,
+        lambda z, rTz, p: z / np.sqrt(rTz), m_w, cyclic=False)
+    Z = np.stack([s for s in slots if s is not None], axis=1)
+    k = Z.shape[1]
+    WtA = (A @ W).T
+    V = np.concatenate([W, Z], axis=1)
+    VtAV = V.T @ (A @ V)
+    VtAV = (VtAV + VtAV.T) / 2
+    vals, vecs = eigh(VtAV)
+    W2 = V @ vecs[:, :nvec]
+    return x, it, res, W2
+
+
+def hrdefpcg(A, b, x, W, Msolve, spdim, maxit=0):
+    n, nvec = W.shape
+    maxit = n if maxit == 0 else maxit
+    x = x.astype(float).copy()
+    m_w = spdim - nvec
+    x, it, res, slots, _ = _defpcg_loop(
+        A, b, x, W, Msolve, maxit,
+        lambda z, rTz, p: p.copy(), m_w, cyclic=False)
+    P = np.stack([s for s in slots if s is not None], axis=1)
+    V = np.concatenate([W, P], axis=1)
+    AV = A @ V
+    MinvAV = np.stack([Msolve(AV[:, i]) for i in range(AV.shape[1])], axis=1)
+    S = AV.T @ MinvAV
+    S = (S + S.T) / 2
+    G = V.T @ AV
+    T = np.zeros_like(G)
+    T[:nvec, :nvec] = G[:nvec, :nvec]
+    np.fill_diagonal(T, np.diag(G))
+    vals, vecs = eigh(S, (T + T.T) / 2)
+    W2 = V @ vecs[:, :nvec]
+    return x, it, res, W2
+
+
+def trrrdefpcg(A, b, x, W, Msolve, spdim, maxit=0):
+    n, nvec = W.shape
+    maxit = n if maxit == 0 else maxit
+    x = x.astype(float).copy()
+    m_w = spdim - nvec
+    W2 = W.copy()
+
+    # replicate the loop manually to perform in-loop restarts
+    WtA = (A @ W).T
+    WtAW = WtA @ W
+    WtW = W.T @ W
+    r = b - A @ x
+    x = x + W @ np.linalg.solve(WtAW, W.T @ r)
+    it = 1
+    r = b - A @ x
+    rTr = r @ r
+    res = [np.sqrt(rTr)]
+    z = Msolve(r)
+    rTz = r @ z
+    p = z - W @ np.linalg.solve(WtAW, WtA @ z)
+    Z = np.zeros((n, m_w))
+    Z[:, 0] = z / np.sqrt(rTz)
+    tol = EPS * np.linalg.norm(b)
+    while it < maxit and res[-1] > tol:
+        Ap = A @ p
+        alpha = rTz / (p @ Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        r = r - W @ np.linalg.solve(WtW, W.T @ r)
+        rTr = r @ r
+        z = Msolve(r)
+        rTz_new = r @ z
+        beta = rTz_new / rTz
+        rTz = rTz_new
+        p = beta * p + z - W @ np.linalg.solve(WtAW, WtA @ z)
+        it += 1
+        res.append(np.sqrt(rTr))
+        slot = (it - 1) % m_w
+        Z[:, slot] = z / np.sqrt(rTz)
+        if slot == m_w - 1:
+            V = np.concatenate([W2, Z], axis=1)
+            VtAV = V.T @ (A @ V)
+            VtAV = (VtAV + VtAV.T) / 2
+            vals, vecs = eigh(VtAV)
+            W2 = V @ vecs[:, :nvec]
+    return x, it, res, W2

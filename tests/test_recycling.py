@@ -1,0 +1,177 @@
+"""Parity of the JAX recycling solvers vs the dynamic-shape NumPy oracle.
+
+The key protocol (SURVEY.md §3.4): across a sequence of correlated systems,
+recycled deflation bases must drive iteration counts DOWN, and the fixed-shape
+masked restart must track the reference's rank-dependent restart.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from krylov_spdes_tpu.fem.mesh import get_mesh
+from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+from krylov_spdes_tpu.fem.assembly import (
+    prepare_elliptic_assembly, do_isotropic_elliptic_assembly)
+from krylov_spdes_tpu.solvers.eigcg import eigcg, eigpcg
+from krylov_spdes_tpu.solvers.defcg import defcg, defpcg, eigdefcg, eigdefpcg
+from krylov_spdes_tpu.solvers.initcg import initcg, initpcg
+from krylov_spdes_tpu.solvers.lanczos import lanczos
+
+import oracle_recycling as orc
+
+
+def make_systems(nnode=250, n_sys=3, seed=0):
+    """Sequence of correlated FEM systems (same sparsity, drifting coeff)."""
+    mesh = get_mesh(nnode, jitter=0.2, seed=seed)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    asm = prepare_elliptic_assembly(
+        mesh.cells, mesh.points, maps,
+        lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+    rng = np.random.default_rng(seed)
+    g = rng.normal(size=mesh.nnode)
+    out = []
+    for s in range(n_sys):
+        g = 0.9 * g + 0.45 * rng.normal(size=mesh.nnode)  # correlated drift
+        A, b = do_isotropic_elliptic_assembly(asm, np.exp(g))
+        out.append((A, np.asarray(b)))
+    return out
+
+
+NVEC, SPDIM = 6, 16
+
+
+def test_eigcg_parity():
+    (A, b), = make_systems(n_sys=1)
+    res = eigcg(A, b, nvec=NVEC, spdim=SPDIM)
+    Asp = A.to_scipy()
+    x_ref, it_ref, _, W_ref = orc.eigcg(Asp, b, np.zeros_like(b), NVEC, SPDIM)
+    assert abs(int(res.it) - it_ref) <= 2
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-5, atol=1e-9)
+    # harvested W spans a similar invariant subspace: principal angles small
+    Wj = np.asarray(res.W)
+    qa, _ = np.linalg.qr(Wj)
+    qb, _ = np.linalg.qr(W_ref)
+    s = np.linalg.svd(qa.T @ qb, compute_uv=False)
+    # all but the last (least-converged, rounding-sensitive) direction agree
+    assert s[:-1].min() > 0.8, s
+
+
+def test_eigcg_W_deflates_nearby_system():
+    systems = make_systems(n_sys=2, seed=3)
+    A0, b0 = systems[0]
+    A1, b1 = systems[1]
+    r0 = eigcg(A0, b0, nvec=NVEC, spdim=SPDIM)
+    base = defcg(A1, b1, W=r0.W)
+    plain = defcg(A1, b1, W=np.linalg.qr(
+        np.random.default_rng(0).normal(size=(b1.shape[0], NVEC)))[0])
+    # eigvec-based deflation beats random deflation
+    assert int(base.it) < int(plain.it)
+
+
+def test_defcg_parity():
+    systems = make_systems(n_sys=2, seed=1)
+    A0, b0 = systems[0]
+    A1, b1 = systems[1]
+    W = np.asarray(eigcg(A0, b0, nvec=NVEC, spdim=SPDIM).W)
+    res = defcg(A1, b1, W=W)
+    x_ref, it_ref, _ = orc.defcg(A1.to_scipy(), b1, np.zeros_like(b1), W)
+    assert abs(int(res.it) - it_ref) <= 2
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-5, atol=1e-8)
+
+
+def test_initcg_parity():
+    systems = make_systems(n_sys=2, seed=2)
+    A0, b0 = systems[0]
+    A1, b1 = systems[1]
+    W = np.asarray(eigcg(A0, b0, nvec=NVEC, spdim=SPDIM).W)
+    res = initcg(A1, b1, W=W)
+    x_ref, it_ref, _ = orc.initcg(A1.to_scipy(), b1, np.zeros_like(b1), W)
+    assert abs(int(res.it) - it_ref) <= 2
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-5, atol=1e-8)
+
+
+def test_eigdefcg_chain_parity_and_monotonicity():
+    systems = make_systems(n_sys=4, seed=4)
+    A0, b0 = systems[0]
+    W = eigcg(A0, b0, nvec=NVEC, spdim=SPDIM).W
+    W_ref = np.asarray(W)
+    its, its_ref = [], []
+    for A, b in systems[1:]:
+        r = eigdefcg(A, b, W=W, spdim=SPDIM)
+        x_ref, it_ref, _, W_ref = orc.eigdefcg(A.to_scipy(), b,
+                                               np.zeros_like(b), W_ref, SPDIM)
+        its.append(int(r.it)); its_ref.append(it_ref)
+        np.testing.assert_allclose(np.asarray(r.x), x_ref, rtol=1e-4,
+                                   atol=1e-7)
+        W = r.W
+    assert all(abs(a - b) <= 3 for a, b in zip(its, its_ref)), (its, its_ref)
+    # recycling pays off along the chain
+    A1, b1 = systems[1]
+    assert its[-1] <= int(defcg(A1, b1, W=np.asarray(
+        np.linalg.qr(np.random.default_rng(1).normal(
+            size=(b1.shape[0], NVEC)))[0])).it)
+
+
+def test_eigdefpcg_chain_parity():
+    systems = make_systems(n_sys=3, seed=5)
+    A0, b0 = systems[0]
+    d0 = 1.0 / np.asarray(A0.to_scipy().diagonal())
+    Mj = lambda r: jnp.asarray(d0) * r
+    Mo = lambda r: d0 * r
+    W = eigpcg(A0, b0, M=Mj, nvec=NVEC, spdim=SPDIM).W
+    W_ref = np.asarray(W)
+    for A, b in systems[1:]:
+        r = eigdefpcg(A, b, M=Mj, W=W, spdim=SPDIM)
+        x_ref, it_ref, _, W_ref = orc.eigdefpcg(
+            A.to_scipy(), b, np.zeros_like(b), W_ref, Mo, SPDIM)
+        assert abs(int(r.it) - it_ref) <= 3, (int(r.it), it_ref)
+        np.testing.assert_allclose(np.asarray(r.x), x_ref, rtol=1e-4,
+                                   atol=1e-7)
+        W = r.W
+
+
+def test_eigpcg_parity():
+    (A, b), = make_systems(n_sys=1, seed=6)
+    d0 = 1.0 / np.asarray(A.to_scipy().diagonal())
+    r = eigpcg(A, b, M=lambda x: jnp.asarray(d0) * x, nvec=NVEC, spdim=SPDIM)
+    x_ref, it_ref, _, _ = orc.eigpcg(A.to_scipy(), b, np.zeros_like(b),
+                                     lambda x: d0 * x, NVEC, SPDIM)
+    assert abs(int(r.it) - it_ref) <= 2
+    np.testing.assert_allclose(np.asarray(r.x), x_ref, rtol=1e-5, atol=1e-8)
+
+
+def test_defpcg_and_initpcg():
+    systems = make_systems(n_sys=2, seed=7)
+    A0, b0 = systems[0]
+    A1, b1 = systems[1]
+    d0 = 1.0 / np.asarray(A1.to_scipy().diagonal())
+    W = np.asarray(eigcg(A0, b0, nvec=NVEC, spdim=SPDIM).W)
+    r1 = defpcg(A1, b1, W=W, M=lambda x: jnp.asarray(d0) * x)
+    r2 = initpcg(A1, b1, W=W, M=lambda x: jnp.asarray(d0) * x)
+    x_ref1, it1, _ = orc.defpcg(A1.to_scipy(), b1, np.zeros_like(b1), W,
+                                lambda x: d0 * x)
+    x_ref2, it2, _ = orc.initpcg(A1.to_scipy(), b1, np.zeros_like(b1), W,
+                                 lambda x: d0 * x)
+    assert abs(int(r1.it) - it1) <= 2
+    assert abs(int(r2.it) - it2) <= 2
+    np.testing.assert_allclose(np.asarray(r1.x), x_ref1, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(r2.x), x_ref2, rtol=1e-5, atol=1e-8)
+
+
+def test_lanczos_ritz_pairs():
+    (A, b), = make_systems(n_sys=1, seed=8)
+    Asp = A.to_scipy()
+    import scipy.sparse.linalg as spla
+    exact = np.sort(spla.eigsh(Asp, k=6, which="LA",
+                               return_eigenvectors=False))[::-1]
+    vals, Y, res = lanczos(A, nev=3, nvec=40, which="MD")
+    # without reorthogonalization (like the reference) Lanczos produces ghost
+    # copies; every Ritz value must still sit on the true spectrum, and the
+    # top one must be lambda_max
+    for v in np.asarray(vals):
+        assert np.min(np.abs(exact - v)) < 1e-4 * abs(v), (v, exact)
+    np.testing.assert_allclose(float(vals[0]), exact[0], rtol=1e-6)
+    # residual estimate consistent: ||A y - val y|| ~ res
+    y0 = np.asarray(Y[:, 0])
+    true_res = np.linalg.norm(Asp @ y0 - float(vals[0]) * y0)
+    assert true_res < 1e-3 * abs(float(vals[0])) + 10 * float(res[0])

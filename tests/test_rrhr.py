@@ -1,0 +1,89 @@
+"""Parity + behavior of the RR/HR × post/TR/LO-TR recycler family."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from krylov_spdes_tpu.solvers.eigcg import eigpcg
+from krylov_spdes_tpu.solvers.defcg import defpcg
+from krylov_spdes_tpu.solvers import recyclers as rec
+
+import oracle_rrhr as orc
+from test_recycling import make_systems, NVEC, SPDIM
+
+
+def _jacobi(A):
+    d = 1.0 / np.asarray(A.to_scipy().diagonal())
+    return (lambda r: jnp.asarray(d) * r), (lambda r: d * r)
+
+
+def _seed_W(A, b, M):
+    return eigpcg(A, b, M=M, nvec=NVEC, spdim=SPDIM).W
+
+
+@pytest.mark.parametrize("name,fn,orc_fn", [
+    ("rrdefpcg", rec.rrdefpcg, orc.rrdefpcg),
+    ("hrdefpcg", rec.hrdefpcg, orc.hrdefpcg),
+    ("trrrdefpcg", rec.trrrdefpcg, orc.trrrdefpcg),
+])
+def test_parity_vs_oracle(name, fn, orc_fn):
+    systems = make_systems(n_sys=3, seed=11)
+    A0, b0 = systems[0]
+    Mj, Mo = _jacobi(A0)
+    W = np.asarray(_seed_W(A0, b0, Mj))
+    A1, b1 = systems[1]
+    r = fn(A1, b1, W=W, M=Mj, spdim=SPDIM)
+    x_ref, it_ref, _, W2_ref = orc_fn(A1.to_scipy(), b1, np.zeros_like(b1),
+                                      W, Mo, SPDIM)
+    assert abs(int(r.it) - it_ref) <= 2, (name, int(r.it), it_ref)
+    np.testing.assert_allclose(np.asarray(r.x), x_ref, rtol=1e-4, atol=1e-7)
+    # W2 spans comparable subspaces: deflating the next system with either
+    # gives comparable iteration counts
+    A2, b2 = systems[2]
+    it_j = int(defpcg(A2, b2, W=np.asarray(r.W), M=Mj).it)
+    it_o = int(defpcg(A2, b2, W=W2_ref, M=Mj).it)
+    assert abs(it_j - it_o) <= 4, (name, it_j, it_o)
+
+
+@pytest.mark.parametrize("fn", [
+    rec.rrdefpcg, rec.hrdefpcg, rec.trrrdefpcg, rec.trhrdefpcg,
+    rec.lotrrrdefpcg, rec.lotrhrdefpcg,
+])
+def test_deflated_chain_improves(fn):
+    """SURVEY §4.3: along a chain of correlated systems, recycling must beat
+    unrecycled deflation-free PCG."""
+    systems = make_systems(n_sys=4, seed=12)
+    A0, b0 = systems[0]
+    Mj, _ = _jacobi(A0)
+    W = _seed_W(A0, b0, Mj)
+    its = []
+    from krylov_spdes_tpu.solvers.cg import pcg
+    for A, b in systems[1:]:
+        r = fn(A, b, W=W, M=Mj, spdim=SPDIM)
+        its.append(int(r.it))
+        assert r.history()[-1] <= 1e-7 * np.linalg.norm(np.asarray(b))
+        W = r.W
+    A3, b3 = systems[-1]
+    plain = int(pcg(A3, b3, M=Mj).it)
+    assert its[-1] < plain, (its, plain)
+
+
+@pytest.mark.parametrize("fn", [
+    rec.rrpcg, rec.hrpcg, rec.trrrpcg, rec.trhrpcg, rec.lotrrrpcg,
+    rec.lotrhrpcg,
+])
+def test_bootstrap_variants_produce_useful_W(fn):
+    systems = make_systems(n_sys=2, seed=13)
+    A0, b0 = systems[0]
+    Mj, _ = _jacobi(A0)
+    r = fn(A0, b0, M=Mj, nvec=NVEC, spdim=SPDIM)
+    assert r.history()[-1] <= 1e-7 * np.linalg.norm(np.asarray(b0))
+    W = np.asarray(r.W)
+    assert np.all(np.isfinite(W))
+    assert np.linalg.matrix_rank(W) == NVEC
+    # deflating the correlated next system helps vs plain PCG
+    A1, b1 = systems[1]
+    from krylov_spdes_tpu.solvers.cg import pcg
+    it_def = int(defpcg(A1, b1, W=W, M=Mj).it)
+    it_plain = int(pcg(A1, b1, M=Mj).it)
+    assert it_def < it_plain + 2, (it_def, it_plain)
