@@ -1,0 +1,150 @@
+"""Smoothed-aggregation AMG preconditioner: host-side setup, device V-cycle.
+
+Replacement for the reference's `AMGPreconditioner{SmoothedAggregation}`
+(AlgebraicMultigrid.jl, used at ~30 call sites, e.g. Example01:56,
+Example06:117; SURVEY.md §2.4). Design split per SURVEY.md §7 "Hard parts":
+
+- SETUP (irregular, graph-structured) runs host-side with scipy: strength of
+  connection, greedy aggregation, tentative prolongator, Jacobi-smoothed
+  P = (I - ω D⁻¹A) T, Galerkin coarse grids A_{l+1} = PᵀA_l P.
+- APPLY (regular, bandwidth-bound) runs fully on device: a V-cycle with
+  weighted-Jacobi smoothing (TPU-parallel; the reference's default
+  Gauss-Seidel is inherently sequential — documented deviation) and a dense
+  Cholesky solve on the coarsest level.
+
+The level hierarchy is a pytree, so `pcg(A, b, M=amg)` stays one compiled
+program.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+import jax
+import jax.numpy as jnp
+from jax.tree_util import Partial
+
+from ..ops.sparse import SparseOp, from_scipy, ell_spmv
+
+
+def _strength(A: sp.csr_matrix, theta: float = 0.0):
+    """Symmetric strength-of-connection: keep |a_ij| >= theta sqrt(a_ii a_jj)."""
+    if theta <= 0:
+        return A
+    d = np.sqrt(np.abs(A.diagonal()))
+    C = A.tocoo()
+    keep = np.abs(C.data) >= theta * d[C.row] * d[C.col]
+    return sp.csr_matrix((C.data[keep], (C.row[keep], C.col[keep])), A.shape)
+
+
+def _aggregate(S: sp.csr_matrix):
+    """Greedy (standard) aggregation. Returns agg id per node, count."""
+    n = S.shape[0]
+    agg = -np.ones(n, dtype=np.int64)
+    indptr, indices = S.indptr, S.indices
+    na = 0
+    # pass 1: root nodes with all-free neighborhoods
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        nbrs = indices[indptr[i]:indptr[i + 1]]
+        if np.all(agg[nbrs] < 0):
+            agg[i] = na
+            agg[nbrs] = na
+            na += 1
+    # pass 2: attach leftovers to an adjacent aggregate
+    for i in range(n):
+        if agg[i] < 0:
+            nbrs = indices[indptr[i]:indptr[i + 1]]
+            hit = nbrs[agg[nbrs] >= 0]
+            if len(hit):
+                agg[i] = agg[hit[0]]
+            else:
+                agg[i] = na
+                na += 1
+    return agg, na
+
+
+def _spectral_radius_est(A: sp.csr_matrix, its: int = 15) -> float:
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=A.shape[0])
+    v /= np.linalg.norm(v)
+    lam = 1.0
+    for _ in range(its):
+        w = A @ v
+        lam = np.linalg.norm(w)
+        v = w / (lam + 1e-30)
+    return float(lam)
+
+
+def amg_setup(A_host: sp.spmatrix, max_levels: int = 10,
+              max_coarse: int = 64, theta: float = 0.0, omega: float = 4.0 / 3.0,
+              dtype=None):
+    """Build the SA-AMG hierarchy host-side. Returns a pytree of levels."""
+    dtype = dtype or (jnp.float64 if jax.config.read("jax_enable_x64")
+                      else jnp.float32)
+    A = sp.csr_matrix(A_host)
+    levels = []
+    while A.shape[0] > max_coarse and len(levels) < max_levels - 1:
+        S = _strength(A, theta)
+        agg, na = _aggregate(S)
+        if na >= A.shape[0]:  # aggregation stalled
+            break
+        T = sp.csr_matrix((np.ones(A.shape[0]), (np.arange(A.shape[0]), agg)),
+                          shape=(A.shape[0], na))
+        # normalize columns
+        colnorm = np.sqrt(np.asarray(T.multiply(T).sum(axis=0)).ravel())
+        T = T @ sp.diags(1.0 / colnorm)
+        Dinv = sp.diags(1.0 / A.diagonal())
+        DinvA = Dinv @ A
+        rho = _spectral_radius_est(DinvA)
+        P = (sp.identity(A.shape[0]) - (omega / rho) * DinvA) @ T
+        P = sp.csr_matrix(P)
+        Ac = sp.csr_matrix(P.T @ A @ P)
+        levels.append(dict(
+            A=from_scipy(A, dtype=dtype),
+            P=from_scipy(P, dtype=dtype),
+            R=from_scipy(sp.csr_matrix(P.T), dtype=dtype),
+            dinv=jnp.asarray(1.0 / A.diagonal(), dtype=dtype),
+        ))
+        A = Ac
+    coarse_dense = jnp.asarray(A.toarray(), dtype=dtype)
+    coarse_L = jnp.linalg.cholesky(
+        coarse_dense + 1e-12 * jnp.eye(A.shape[0], dtype=dtype))
+    return dict(levels=tuple(levels), coarse_L=coarse_L)
+
+
+def _vcycle(npre, npost, hier, omega, r):
+    levels = hier["levels"]
+
+    def smooth(A, dinv, x, b, nsweep):
+        for _ in range(nsweep):
+            x = x + omega * dinv * (b - ell_spmv(A, x))
+        return x
+
+    def down(l, b):
+        if l == len(levels):
+            y = jax.scipy.linalg.solve_triangular(hier["coarse_L"], b,
+                                                  lower=True)
+            return jax.scipy.linalg.solve_triangular(hier["coarse_L"].T, y,
+                                                     lower=False)
+        lev = levels[l]
+        x = smooth(lev["A"], lev["dinv"], jnp.zeros_like(b), b, npre)
+        rc = ell_spmv(lev["R"], b - ell_spmv(lev["A"], x))
+        xc = down(l + 1, rc)
+        x = x + ell_spmv(lev["P"], xc)
+        return smooth(lev["A"], lev["dinv"], x, b, npost)
+
+    return down(0, r)
+
+
+def amg_precond(A, max_levels: int = 10, max_coarse: int = 64,
+                theta: float = 0.0, omega_smooth: float = 2.0 / 3.0,
+                npre: int = 1, npost: int = 1):
+    """One-V-cycle SA-AMG preconditioner (AMGPreconditioner analogue)."""
+    A_host = A.to_scipy() if isinstance(A, SparseOp) else sp.csr_matrix(A)
+    hier = amg_setup(A_host, max_levels=max_levels, max_coarse=max_coarse,
+                     theta=theta)
+    from functools import partial as fpartial
+    # sweep counts are loop bounds -> static
+    return Partial(fpartial(_vcycle, npre, npost), hier, omega_smooth)

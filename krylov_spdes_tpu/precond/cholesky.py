@@ -1,0 +1,60 @@
+"""Low-precision Cholesky preconditioners.
+
+Redesign of /root/reference/MyPreconditioners/CholPreconditioners.jl:5-56
+(`Cholesky32`/`Cholesky16`): the reference wraps CHOLMOD and merely casts the
+input vector down (its own comment admits CHOLMOD has no true mixed precision,
+CholPreconditioners.jl:1-3). Here the factorization itself runs at the chosen
+precision on device — f32, or bf16 storage with f32 solves (the TPU-native
+"fp16" analogue) — as a dense batched-friendly factorization; subdomain-sized
+systems are small and dense-padded per SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.tree_util import Partial
+
+from ..ops.sparse import SparseOp
+
+
+def _chol_apply(out_dtype, L, r):
+    rl = r.astype(L.dtype)
+    y = jax.scipy.linalg.solve_triangular(L, rl, lower=True)
+    x = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    return x.astype(out_dtype)
+
+
+def _chol_apply_bf16(out_dtype, L16, r):
+    L = L16.astype(jnp.float32)
+    rl = r.astype(jnp.float32)
+    y = jax.scipy.linalg.solve_triangular(L, rl, lower=True)
+    x = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    return x.astype(out_dtype)
+
+
+def get_cholesky(A, dtype=jnp.float32):
+    """Dense device Cholesky preconditioner of A at `dtype` precision.
+
+    get_cholesky32 analogue: dtype=float32. Returns a pytree callable."""
+    Ad = A.todense() if isinstance(A, SparseOp) else jnp.asarray(A)
+    out_dtype = Ad.dtype
+    L = jnp.linalg.cholesky(Ad.astype(dtype))
+    from functools import partial as fpartial
+    return Partial(fpartial(_chol_apply, jnp.dtype(out_dtype).name), L)
+
+
+def get_cholesky32(A):
+    """Cholesky32 analogue (CholPreconditioners.jl:31-56)."""
+    return get_cholesky(A, jnp.float32)
+
+
+def get_cholesky16(A):
+    """Cholesky16 analogue (CholPreconditioners.jl:5-29). TPU has no fp16
+    LAPACK; the native equivalent is bf16 STORAGE of the f32 factor, casting
+    up for the triangular solves (halves the factor's HBM traffic)."""
+    Ad = A.todense() if isinstance(A, SparseOp) else jnp.asarray(A)
+    out_dtype = Ad.dtype
+    L = jnp.linalg.cholesky(Ad.astype(jnp.float32)).astype(jnp.bfloat16)
+    from functools import partial as fpartial
+    return Partial(fpartial(_chol_apply_bf16, jnp.dtype(out_dtype).name), L)

@@ -1,0 +1,76 @@
+"""Diagonal (Jacobi) and Chebyshev preconditioners.
+
+Jacobi is the baseline; Chebyshev polynomial preconditioning is the
+TPU-friendly stand-in the framework offers where the reference reaches for
+sequential smoothers (documented deviation, SURVEY.md §7 "Hard parts"/AMG).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.tree_util import Partial
+
+from ..ops.sparse import SparseOp
+from ..solvers.base import as_linear_op
+
+
+def sparse_diagonal(A: SparseOp):
+    """Extract diag(A) from the CSR view without densifying."""
+    contrib = jnp.where(A.indices == A.rows, A.data, 0.0)
+    return jax.ops.segment_sum(contrib, A.rows, num_segments=A.n_rows,
+                               indices_are_sorted=True)
+
+
+def jacobi_precond(A: SparseOp):
+    """M⁻¹ = diag(A)⁻¹."""
+    return Partial(_diag_apply, 1.0 / sparse_diagonal(A))
+
+
+def _diag_apply(dinv, r):
+    return dinv * r
+
+
+def _cheby_apply(degree, A, dinv, lmin, lmax, r):
+    """Chebyshev iteration on the Jacobi-scaled operator, zero initial guess."""
+    theta = (lmax + lmin) / 2.0
+    delta = (lmax - lmin) / 2.0
+    sigma1 = theta / delta
+    rho = 1.0 / sigma1
+    z = dinv * r
+    x = z / theta
+    rk = r - A(x)
+    prev_x = x
+    for _ in range(degree - 1):
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        z = dinv * rk
+        x_new = x + (2.0 * rho_new / delta) * z + rho_new * rho * (x - prev_x)
+        prev_x, rho, x = x, rho_new, x_new
+        rk = r - A(x)
+    return x
+
+
+def chebyshev_precond(A, lmax_est: float | None = None, degree: int = 4,
+                      lmin_frac: float = 0.06):
+    """Degree-k Chebyshev polynomial preconditioner on D⁻¹A.
+
+    lmax is estimated by a few power iterations if not given; the window is
+    [lmin_frac * lmax, 1.1 * lmax] as usual for smoothing/preconditioning.
+    """
+    Afn = as_linear_op(A)
+    if not isinstance(A, SparseOp):
+        raise TypeError("chebyshev_precond needs a SparseOp (for its diagonal)")
+    dinv = 1.0 / sparse_diagonal(A)
+    if lmax_est is None:
+        key = jax.random.PRNGKey(0)
+        v = jax.random.normal(key, (A.n_rows,), A.data.dtype)
+        for _ in range(12):
+            v = dinv * Afn(v)
+            v = v / jnp.linalg.norm(v)
+        lmax_est = float(jnp.vdot(v, dinv * Afn(v)))
+    lmax = 1.1 * lmax_est
+    lmin = lmin_frac * lmax_est
+    from functools import partial as fpartial
+    # degree is a loop bound -> must stay static (bound via functools.partial,
+    # which Partial treats as part of the function identity)
+    return Partial(fpartial(_cheby_apply, degree), Afn, dinv, lmin, lmax)

@@ -1,0 +1,83 @@
+import numpy as np
+import pytest
+
+from krylov_spdes_tpu.fem.mesh import get_mesh
+from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+from krylov_spdes_tpu.fem.assembly import (
+    prepare_elliptic_assembly, do_isotropic_elliptic_assembly)
+from krylov_spdes_tpu.solvers.cg import cg, pcg
+from krylov_spdes_tpu.precond.simple import jacobi_precond, chebyshev_precond
+from krylov_spdes_tpu.precond.block_jacobi import (
+    prepare_block_jacobi_plan, block_jacobi_precond)
+from krylov_spdes_tpu.precond.cholesky import get_cholesky32, get_cholesky16
+from krylov_spdes_tpu.precond.amg import amg_precond
+
+
+def _system(n=2000, seed=0):
+    mesh = get_mesh(n, jitter=0.2, seed=seed)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    asm = prepare_elliptic_assembly(
+        mesh.cells, mesh.points, maps,
+        lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+    rng = np.random.default_rng(seed)
+    A, b = do_isotropic_elliptic_assembly(asm, np.exp(rng.normal(size=mesh.nnode)))
+    return A, np.asarray(b), asm
+
+
+def test_all_preconds_accelerate_and_agree():
+    A, b, _ = _system()
+    base = cg(A, b)
+    x_star = np.asarray(base.x)
+    results = {"cg": int(base.it)}
+    preconds = {
+        "jacobi": jacobi_precond(A),
+        "chebyshev": chebyshev_precond(A, degree=4),
+        "bj16": block_jacobi_precond(A, 16),
+        "chol32": get_cholesky32(A),
+        "amg": amg_precond(A),
+    }
+    for name, M in preconds.items():
+        r = pcg(A, b, M=M)
+        results[name] = int(r.it)
+        np.testing.assert_allclose(np.asarray(r.x), x_star, rtol=2e-4,
+                                   atol=1e-7, err_msg=name)
+        assert r.history()[-1] <= 1e-7 * np.linalg.norm(b), name
+    # all preconditioners beat plain CG; AMG/chol are near-direct
+    for name in ["chebyshev", "bj16", "chol32", "amg"]:
+        assert results[name] < results["cg"], results
+    assert results["amg"] <= 40, results
+    assert results["chol32"] <= 25, results
+
+
+def test_bj_plan_reuse_across_realizations():
+    A, b, asm = _system(800, seed=2)
+    from krylov_spdes_tpu.fem.assembly import do_isotropic_elliptic_assembly
+    plan = prepare_block_jacobi_plan(A, 8)
+    rng = np.random.default_rng(3)
+    # rebuild preconditioner from new values with the same plan
+    coeff = np.exp(rng.normal(size=int(np.asarray(asm.plan.cells).max()) + 1))
+    A2, b2 = do_isotropic_elliptic_assembly(asm, coeff)
+    M2 = block_jacobi_precond(A2, 8, plan=plan)
+    r = pcg(A2, np.asarray(b2), M=M2)
+    assert r.history()[-1] <= 1e-7 * np.linalg.norm(np.asarray(b2))
+
+
+def test_cholesky16_quality():
+    A, b, _ = _system(600, seed=4)
+    r32 = pcg(A, b, M=get_cholesky32(A))
+    r16 = pcg(A, b, M=get_cholesky16(A))
+    assert int(r32.it) <= 25
+    # bf16 storage is a weaker but functional preconditioner
+    assert int(r16.it) <= 4 * int(r32.it) + 20
+    assert r16.history()[-1] <= 1e-7 * np.linalg.norm(b)
+
+
+def test_amg_scales_iterations():
+    """AMG iteration counts should stay ~flat as the mesh refines."""
+    its = []
+    for n in [500, 2000, 8000]:
+        A, b, _ = _system(n, seed=5)
+        r = pcg(A, b, M=amg_precond(A))
+        assert r.history()[-1] <= 1e-7 * np.linalg.norm(b)
+        its.append(int(r.it))
+    assert its[-1] <= its[0] + 15, its
