@@ -1,0 +1,62 @@
+"""Headline benchmark: SpMV throughput through the CG solver, per chip.
+
+Prints ONE JSON line. The reference publishes no wall-clock numbers
+(BASELINE.md), so `vs_baseline` is measured against this framework's own
+first recorded value via BENCH_BASELINE (defaults to 1.0 = parity with
+itself); the absolute metric is effective nnz/s through a full CG solve
+(nnz × iterations / wall time — counts the SpMV, dots and axpys as one
+fused pipeline, which is what the solver actually runs).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from krylov_spdes_tpu.fem.mesh import get_mesh
+    from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+    from krylov_spdes_tpu.fem.assembly import (prepare_elliptic_assembly,
+                                               do_isotropic_elliptic_assembly)
+    from krylov_spdes_tpu.solvers.cg import cg
+
+    nnode = int(os.environ.get("BENCH_NNODE", "250000"))
+    mesh = get_mesh(nnode)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    asm = prepare_elliptic_assembly(
+        mesh.cells, mesh.points, maps,
+        lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+    rng = np.random.default_rng(0)
+    coeff = np.exp(0.3 * rng.normal(size=mesh.nnode))
+    A, b = do_isotropic_elliptic_assembly(asm, coeff)
+    b = jnp.asarray(b)
+    maxit = 2000
+
+    # warm-up / compile
+    r = cg(A, b, maxit=maxit, rtol=1e-5)
+    jax.block_until_ready(r.x)
+
+    t0 = time.time()
+    r = cg(A, b, maxit=maxit, rtol=1e-5)
+    jax.block_until_ready(r.x)
+    dt = time.time() - t0
+
+    iters = int(r.it)
+    nnz = A.nnz
+    nnz_per_s = nnz * iters / dt
+
+    baseline = float(os.environ.get("BENCH_BASELINE", nnz_per_s))
+    print(json.dumps({
+        "metric": "cg_spmv_throughput",
+        "value": round(nnz_per_s / 1e9, 4),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(nnz_per_s / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

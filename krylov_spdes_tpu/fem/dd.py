@@ -1,0 +1,279 @@
+"""Non-overlapping domain decomposition: index structures + batched block
+assembly.
+
+Redesign of /root/reference/Fem/EllipticPdeDomainDecomposition.jl:86-582:
+
+- `set_subdomains` (reference :86-193) builds Dict-based index maps; here
+  `DDPartition` holds dense padded int32 arrays (SURVEY.md §7 design
+  translation): per-subdomain interior/interface node tables padded to
+  (ndom, nI_max) / (ndom, nG_max) with masks — the batched "dom" axis is the
+  device-sharding axis.
+- Interface detection is NODE-based (a non-Dirichlet node touching elements of
+  ≥2 subdomains is on Γ) rather than the reference's edge-based rule
+  (:148-173). Node-based is a strict superset that can never orphan a node
+  (the reference would KeyError on corner-touching partitions); the Schur
+  algebra is unchanged since every element contribution is still routed
+  exactly once by its own subdomain.
+- `prepare_local_schurs` / `prepare_global_schur` (:212-582) become ONE
+  precomputed scatter plan whose per-realization refill writes batched DENSE
+  blocks A_II (ndom, nI, nI), A_IΓ (ndom, nI, nG), A_ΓΓd (ndom, nG, nG) on
+  device: subdomain interiors of 2D P1 meshes are small (~n/ndom), so dense
+  batched Cholesky/matmuls on the MXU replace per-domain sparse inner CG.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bc import DirichletMaps
+from .mesh import element_geometry
+
+
+@dataclasses.dataclass
+class DDPartition:
+    """Dense index structures for an ndom-way edge/node partition."""
+    ndom: int
+    n_gamma: int                # number of (non-Dirichlet) interface nodes
+    nI_max: int
+    nG_max: int
+    node_owner: np.ndarray      # (nnode,) -2 Dirichlet, -1 Γ, d interior
+    gamma_l2g: np.ndarray       # (n_gamma,) global node of each Γ index
+    gamma_g2l: np.ndarray       # (nnode,) Γ index or -1
+    interior_l2g: np.ndarray    # (ndom, nI_max) global node, padded -1
+    interior_g2l: np.ndarray    # (nnode,) local interior index or -1
+    n_interior: np.ndarray      # (ndom,)
+    gammad_to_gamma: np.ndarray  # (ndom, nG_max) Γ index of local Γd slot, pad -1
+    gamma_to_gammad: np.ndarray  # (ndom, n_gamma) local Γd slot or -1
+    n_gammad: np.ndarray        # (ndom,)
+    gamma_cnt: np.ndarray       # (n_gamma,) number of owning subdomains
+
+
+def set_subdomains(cells: np.ndarray, epart: np.ndarray,
+                   maps: DirichletMaps, ndom: int | None = None) -> DDPartition:
+    """Build DD index structures (reference set_subdomains analogue)."""
+    nnode = maps.free_g2l.shape[0]
+    nel = cells.shape[0]
+    if ndom is None:
+        ndom = int(epart.max()) + 1
+    is_dir = maps.is_dirichlet
+
+    # parts touching each node
+    touch = np.zeros((nnode, 0))
+    tmat = np.zeros((ndom, nnode), dtype=bool)
+    tmat[epart.repeat(3), cells.ravel()] = True
+    ntouch = tmat.sum(axis=0)
+
+    node_owner = np.full(nnode, -3, dtype=np.int32)
+    node_owner[is_dir] = -2
+    on_gamma = (~is_dir) & (ntouch >= 2)
+    node_owner[on_gamma] = -1
+    interior = (~is_dir) & (ntouch == 1)
+    # owner of interior node = the single touching part
+    owner_of = tmat.argmax(axis=0)
+    node_owner[interior] = owner_of[interior]
+
+    gamma_l2g = np.nonzero(on_gamma)[0].astype(np.int32)
+    n_gamma = gamma_l2g.shape[0]
+    gamma_g2l = -np.ones(nnode, dtype=np.int32)
+    gamma_g2l[gamma_l2g] = np.arange(n_gamma, dtype=np.int32)
+
+    n_interior = np.zeros(ndom, dtype=np.int64)
+    interior_lists = []
+    for d in range(ndom):
+        nodes = np.nonzero(interior & (owner_of == d))[0]
+        interior_lists.append(nodes)
+        n_interior[d] = nodes.shape[0]
+    nI_max = max(1, int(n_interior.max()))
+    interior_l2g = -np.ones((ndom, nI_max), dtype=np.int32)
+    interior_g2l = -np.ones(nnode, dtype=np.int32)
+    for d, nodes in enumerate(interior_lists):
+        interior_l2g[d, :len(nodes)] = nodes
+        interior_g2l[nodes] = np.arange(len(nodes), dtype=np.int32)
+
+    # local interfaces: Γ nodes touching part d
+    n_gammad = np.zeros(ndom, dtype=np.int64)
+    gd_lists = []
+    for d in range(ndom):
+        nodes = np.nonzero(on_gamma & tmat[d])[0]
+        gd_lists.append(gamma_g2l[nodes])
+        n_gammad[d] = nodes.shape[0]
+    nG_max = max(1, int(n_gammad.max()))
+    gammad_to_gamma = -np.ones((ndom, nG_max), dtype=np.int32)
+    gamma_to_gammad = -np.ones((ndom, n_gamma), dtype=np.int32)
+    for d, gl in enumerate(gd_lists):
+        gammad_to_gamma[d, :len(gl)] = gl
+        gamma_to_gammad[d, gl] = np.arange(len(gl), dtype=np.int32)
+
+    gamma_cnt = tmat[:, gamma_l2g].sum(axis=0).astype(np.int32)
+
+    return DDPartition(
+        ndom=ndom, n_gamma=n_gamma, nI_max=nI_max, nG_max=nG_max,
+        node_owner=node_owner, gamma_l2g=gamma_l2g, gamma_g2l=gamma_g2l,
+        interior_l2g=interior_l2g, interior_g2l=interior_g2l,
+        n_interior=n_interior, gammad_to_gamma=gammad_to_gamma,
+        gamma_to_gammad=gamma_to_gammad, n_gammad=n_gammad,
+        gamma_cnt=gamma_cnt)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["cells", "kflat", "eflat", "tgt_flat", "bI_fac",
+                      "bI_slot", "bI_elem", "bG_fac", "bG_slot", "bG_elem",
+                      "bI_fixed", "bG_fixed", "imask", "gmask", "sizes_I",
+                      "sizes_G"],
+         meta_fields=["ndom", "nI", "nG", "n_gamma", "n_ii", "n_ig", "n_gg"])
+@dataclasses.dataclass
+class DDAssemblyPlan:
+    """Scatter plan for batched dense DD block refill.
+
+    tgt_flat holds flattened destination indices, segmented by target:
+      [0, n_ii)           -> A_II  flat index d*nI*nI + i*nI + j
+      [n_ii, n_ii+n_ig)   -> A_IΓ  flat index d*nI*nG + i*nG + g
+      [.., +n_gg)         -> A_ΓΓd flat index d*nG*nG + gi*nG + gj
+    kflat/eflat: geometry factor and element id per contribution.
+    """
+    cells: jnp.ndarray
+    kflat: jnp.ndarray
+    eflat: jnp.ndarray
+    tgt_flat: jnp.ndarray
+    bI_fac: jnp.ndarray
+    bI_slot: jnp.ndarray
+    bI_elem: jnp.ndarray
+    bG_fac: jnp.ndarray
+    bG_slot: jnp.ndarray
+    bG_elem: jnp.ndarray
+    bI_fixed: jnp.ndarray    # (ndom, nI)
+    bG_fixed: jnp.ndarray    # (n_gamma,)
+    imask: jnp.ndarray       # (ndom, nI) 1.0 where valid
+    gmask: jnp.ndarray       # (ndom, nG)
+    sizes_I: jnp.ndarray     # (ndom,)
+    sizes_G: jnp.ndarray     # (ndom,)
+    ndom: int
+    nI: int
+    nG: int
+    n_gamma: int
+    n_ii: int
+    n_ig: int
+    n_gg: int
+
+
+def prepare_dd_assembly(cells, points, epart, part: DDPartition,
+                        maps: DirichletMaps, f, u_exact,
+                        dtype=None) -> DDAssemblyPlan:
+    """Host-side symbolic routing of element contributions into DD blocks
+    (prepare_local_schurs analogue, values refilled on device)."""
+    dtype = dtype or (jnp.float64 if jax.config.read("jax_enable_x64")
+                      else jnp.float32)
+    nel = cells.shape[0]
+    ndom, nI, nG = part.ndom, part.nI_max, part.nG_max
+    dx, dy, area = element_geometry(cells, points)
+    kg = (dy[:, :, None] * dy[:, None, :] + dx[:, :, None] * dx[:, None, :]) \
+        / (4.0 * area[:, None, None])
+
+    gi = cells[:, :, None].repeat(3, axis=2).ravel()
+    gj = cells[:, None, :].repeat(3, axis=1).ravel()
+    eid = np.broadcast_to(np.arange(nel)[:, None, None], (nel, 3, 3)).ravel()
+    kgf = kg.reshape(-1)
+    dom = epart[eid]
+    own_i = part.node_owner[gi]
+    own_j = part.node_owner[gj]
+
+    ii = (own_i >= 0) & (own_j >= 0)                 # both interior (same dom)
+    ig = (own_i >= 0) & (own_j == -1)                # interior-row, Γ-col
+    gg = (own_i == -1) & (own_j == -1)               # both Γ
+    lift_i = (own_i == -2) & (own_j >= 0)            # Dirichlet-row → b_I
+    lift_g = (own_i == -2) & (own_j == -1)           # Dirichlet-row → b_Γ
+
+    li = part.interior_g2l[gi]
+    lj = part.interior_g2l[gj]
+    lgj = part.gamma_to_gammad[dom, np.where(own_j == -1, part.gamma_g2l[gj], 0)]
+    lgi = part.gamma_to_gammad[dom, np.where(own_i == -1, part.gamma_g2l[gi], 0)]
+
+    idx_ii = (dom * nI * nI + li * nI + lj)[ii]
+    idx_ig = (dom * nI * nG + li * nG + lgj)[ig]
+    idx_gg = (dom * nG * nG + lgi * nG + lgj)[gg]
+
+    sel = np.concatenate([np.nonzero(ii)[0], np.nonzero(ig)[0],
+                          np.nonzero(gg)[0]])
+    tgt = np.concatenate([idx_ii,
+                          idx_ig + ndom * nI * nI,
+                          idx_gg + ndom * nI * nI + ndom * nI * nG])
+    kflat = kgf[sel]
+    eflat = eid[sel]
+
+    px, py = points[:, 0], points[:, 1]
+    uex = u_exact(px[gi], py[gi])
+    # b_I lift: b_I[dom, lj] -= uexact_i * coeff * kgeo
+    bI_slot = (dom * nI + lj)[lift_i]
+    bI_fac = (-uex * kgf)[lift_i]
+    bI_elem = eid[lift_i]
+    # b_Γ lift (GLOBAL Γ index — shared across doms)
+    bG_slot = part.gamma_g2l[gj][lift_g]
+    bG_fac = (-uex * kgf)[lift_g]
+    bG_elem = eid[lift_g]
+
+    # fixed source terms
+    fvals = f(px, py)[cells]
+    fsum = fvals.sum(axis=1, keepdims=True)
+    contrib = (fvals + fsum) * area[:, None] / 12.0
+    bI_fixed = np.zeros((ndom, nI))
+    bG_fixed = np.zeros(part.n_gamma)
+    cell_dom = np.broadcast_to(epart[:, None], (nel, 3))
+    own_c = part.node_owner[cells]
+    m_int = own_c >= 0
+    np.add.at(bI_fixed, (own_c[m_int], part.interior_g2l[cells][m_int]),
+              contrib[m_int])
+    m_g = own_c == -1
+    np.add.at(bG_fixed, part.gamma_g2l[cells][m_g], contrib[m_g])
+
+    imask = (np.arange(nI)[None, :] < part.n_interior[:, None])
+    gmask = (np.arange(nG)[None, :] < part.n_gammad[:, None])
+
+    return DDAssemblyPlan(
+        cells=jnp.asarray(cells),
+        kflat=jnp.asarray(kflat, dtype=dtype),
+        eflat=jnp.asarray(eflat.astype(np.int32)),
+        tgt_flat=jnp.asarray(tgt.astype(np.int64)),
+        bI_fac=jnp.asarray(bI_fac, dtype=dtype),
+        bI_slot=jnp.asarray(bI_slot.astype(np.int32)),
+        bI_elem=jnp.asarray(bI_elem.astype(np.int32)),
+        bG_fac=jnp.asarray(bG_fac, dtype=dtype),
+        bG_slot=jnp.asarray(bG_slot.astype(np.int32)),
+        bG_elem=jnp.asarray(bG_elem.astype(np.int32)),
+        bI_fixed=jnp.asarray(bI_fixed, dtype=dtype),
+        bG_fixed=jnp.asarray(bG_fixed, dtype=dtype),
+        imask=jnp.asarray(imask.astype(np.float64), dtype=dtype),
+        gmask=jnp.asarray(gmask.astype(np.float64), dtype=dtype),
+        sizes_I=jnp.asarray(part.n_interior.astype(np.int32)),
+        sizes_G=jnp.asarray(part.n_gammad.astype(np.int32)),
+        ndom=ndom, nI=nI, nG=nG, n_gamma=part.n_gamma,
+        n_ii=int(idx_ii.shape[0]), n_ig=int(idx_ig.shape[0]),
+        n_gg=int(idx_gg.shape[0]))
+
+
+@jax.jit
+def assemble_dd_values(plan: DDAssemblyPlan, coeff_nodes):
+    """Per-realization refill of the batched DD blocks (device).
+
+    Returns (A_II (ndom,nI,nI), A_IG (ndom,nI,nG), A_GGd (ndom,nG,nG),
+    b_I (ndom,nI), b_G (n_gamma,))."""
+    ndom, nI, nG = plan.ndom, plan.nI, plan.nG
+    coeff_e = jnp.mean(coeff_nodes[plan.cells], axis=1)
+    vals = coeff_e[plan.eflat] * plan.kflat
+    total = ndom * (nI * nI + nI * nG + nG * nG)
+    flat = jnp.zeros((total,), vals.dtype).at[plan.tgt_flat].add(vals)
+    o1 = ndom * nI * nI
+    o2 = o1 + ndom * nI * nG
+    A_II = flat[:o1].reshape(ndom, nI, nI)
+    A_IG = flat[o1:o2].reshape(ndom, nI, nG)
+    A_GGd = flat[o2:].reshape(ndom, nG, nG)
+
+    b_I = plan.bI_fixed + jnp.zeros((ndom * nI,), vals.dtype).at[
+        plan.bI_slot].add(coeff_e[plan.bI_elem] * plan.bI_fac).reshape(ndom, nI)
+    b_G = plan.bG_fixed + jnp.zeros((plan.n_gamma,), vals.dtype).at[
+        plan.bG_slot].add(coeff_e[plan.bG_elem] * plan.bG_fac)
+    return A_II, A_IG, A_GGd, b_I, b_G

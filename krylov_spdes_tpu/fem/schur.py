@@ -1,0 +1,201 @@
+"""Schur-complement operators over batched subdomain blocks.
+
+Redesign of /root/reference/Fem/EllipticPdeDomainDecomposition.jl:585-1108 and
+the Neumann-Neumann preconditioner (:1111-1403):
+
+- The reference applies S through per-domain inner CG solves
+  (IterativeSolvers.cg at reltol 1e-9, :609-634) in a serial idom loop; Sd
+  assembly applies the map to identity columns — n_Γd inner CGs each (:667).
+- Here interiors are batched dense Cholesky factors (padded with identity
+  rows), so S x = A_ΓΓ x − Σ_d A_IΓdᵀ A_IId⁻¹ A_IΓd x is three batched
+  matmuls + one batched triangular solve pair — exact (no inner-tolerance
+  noise), one compiled program. The per-`idom` scatter/gather over Γ
+  (:728-742) — the halo exchange — is a pair of masked gathers/segment
+  scatter-adds, the precise op that becomes a `psum_scatter` collective under
+  `shard_map` (SURVEY.md §2.2 P5).
+- Assembled local Schurs Sd = A_ΓΓd − A_IΓᵀ A_II⁻¹ A_IΓ are ONE batched
+  cho_solve on matrix right-hand sides.
+- The NN preconditioner's pinv of singular local Schurs (:1181, rtol=√eps)
+  is a batched masked SVD pinv.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.tree_util import Partial
+
+from .dd import DDAssemblyPlan, DDPartition
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["A_II_L", "A_IG", "A_GGd", "gammad_to_gamma", "gmask",
+                      "gamma_cnt"],
+         meta_fields=["n_gamma"])
+@dataclasses.dataclass
+class SchurOperator:
+    """Matrix-free S with factored interiors (pytree; jit/vmap/shard-safe)."""
+    A_II_L: jnp.ndarray          # (ndom, nI, nI) Cholesky factors
+    A_IG: jnp.ndarray            # (ndom, nI, nG)
+    A_GGd: jnp.ndarray           # (ndom, nG, nG)
+    gammad_to_gamma: jnp.ndarray  # (ndom, nG) Γ index per local slot (0 pad)
+    gmask: jnp.ndarray           # (ndom, nG) 1.0 valid
+    gamma_cnt: jnp.ndarray       # (n_gamma,)
+    n_gamma: int
+
+    def matvec(self, x):
+        return schur_matvec(self, x)
+
+    def __call__(self, x):
+        return schur_matvec(self, x)
+
+    def as_partial_op(self):
+        return Partial(schur_matvec, self)
+
+    @property
+    def shape(self):
+        return (self.n_gamma, self.n_gamma)
+
+
+def factorize_interiors(A_II, imask):
+    """Batched Cholesky of padded interiors; padding rows become identity."""
+    ndom, nI, _ = A_II.shape
+    eye = jnp.eye(nI, dtype=A_II.dtype)
+    pad = (1.0 - imask)[:, :, None] * eye[None]
+    A = A_II * imask[:, :, None] * imask[:, None, :] + pad
+    return jnp.linalg.cholesky(A)
+
+
+def interior_solve(L, rhs):
+    """Batched A_II⁻¹ rhs via the Cholesky factors; rhs (ndom, nI) or
+    (ndom, nI, k)."""
+    squeeze = rhs.ndim == 2
+    if squeeze:
+        rhs = rhs[..., None]
+    y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+    x = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(L, -1, -2), y, lower=False)
+    return x[..., 0] if squeeze else x
+
+
+def prepare_schur_operator(plan: DDAssemblyPlan, part: DDPartition, A_II,
+                           A_IG, A_GGd) -> SchurOperator:
+    g2g = jnp.asarray(np.maximum(part.gammad_to_gamma, 0))
+    return SchurOperator(
+        A_II_L=factorize_interiors(A_II, plan.imask),
+        A_IG=A_IG * plan.imask[:, :, None] * plan.gmask[:, None, :],
+        A_GGd=A_GGd * plan.gmask[:, :, None] * plan.gmask[:, None, :],
+        gammad_to_gamma=g2g,
+        gmask=plan.gmask,
+        gamma_cnt=jnp.asarray(part.gamma_cnt).astype(A_II.dtype),
+        n_gamma=part.n_gamma)
+
+
+@jax.jit
+def schur_matvec(S: SchurOperator, x):
+    """S x = Σ_d scatter_d( A_ΓΓd x_d − A_IΓdᵀ A_IId⁻¹ A_IΓd x_d )."""
+    xd = x[S.gammad_to_gamma] * S.gmask                     # (ndom, nG)
+    t1 = jnp.einsum("dgh,dh->dg", S.A_GGd, xd)
+    v = jnp.einsum("dig,dg->di", S.A_IG, xd)                # A_IΓ x_d
+    w = interior_solve(S.A_II_L, v)                         # A_II⁻¹ ...
+    t2 = jnp.einsum("dig,di->dg", S.A_IG, w)
+    Sdxd = (t1 - t2) * S.gmask
+    out = jnp.zeros((S.n_gamma,), x.dtype)
+    return out.at[S.gammad_to_gamma.reshape(-1)].add(Sdxd.reshape(-1))
+
+
+@jax.jit
+def get_schur_rhs(S: SchurOperator, b_I, b_G):
+    """b_schur = b_Γ − Σ_d scatter_d(A_IΓdᵀ A_IId⁻¹ b_Id)  (reference :835)."""
+    v = interior_solve(S.A_II_L, b_I)
+    w = jnp.einsum("dig,di->dg", S.A_IG, v) * S.gmask
+    return b_G - jnp.zeros_like(b_G).at[
+        S.gammad_to_gamma.reshape(-1)].add(w.reshape(-1))
+
+
+@jax.jit
+def assemble_local_schurs(S: SchurOperator):
+    """Explicit Sd = A_ΓΓd − A_IΓᵀ A_IId⁻¹ A_IΓ, batched dense (reference
+    :667-695 applies the map to identity columns with inner CGs)."""
+    W = interior_solve(S.A_II_L, S.A_IG)                    # (ndom, nI, nG)
+    Sd = S.A_GGd - jnp.einsum("dig,dih->dgh", S.A_IG, W)
+    return Sd * S.gmask[:, :, None] * S.gmask[:, None, :]
+
+
+def _schur_matvec_assembled(n_gamma, Sd, g2g, gmask, x):
+    xd = x[g2g] * gmask
+    Sdxd = jnp.einsum("dgh,dh->dg", Sd, xd) * gmask
+    return jnp.zeros((n_gamma,), x.dtype).at[g2g.reshape(-1)].add(
+        Sdxd.reshape(-1))
+
+
+def assembled_schur_operator(S: SchurOperator):
+    """Linear-operator callable applying the pre-assembled Sd blocks
+    (apply_local_schurs assembled flavor, reference :761)."""
+    Sd = assemble_local_schurs(S)
+    from functools import partial as fpartial
+    # n_gamma is a shape -> static
+    return Partial(fpartial(_schur_matvec_assembled, S.n_gamma), Sd,
+                   S.gammad_to_gamma, S.gmask)
+
+
+@jax.jit
+def get_subdomain_solutions(S: SchurOperator, u_gamma, b_I):
+    """u_Id = A_IId⁻¹ (b_Id − A_IΓd u_Γ|_d)  (reference :1014)."""
+    ud = u_gamma[S.gammad_to_gamma] * S.gmask
+    rhs = b_I - jnp.einsum("dig,dg->di", S.A_IG, ud)
+    return interior_solve(S.A_II_L, rhs)
+
+
+def merge_subdomain_solutions(part: DDPartition, maps, points, u_exact,
+                              u_gamma, u_I):
+    """Global nodal solution from (u_Γ, u_Id) + Dirichlet values
+    (reference :1040)."""
+    nnode = part.node_owner.shape[0]
+    u = np.zeros(nnode)
+    u[part.gamma_l2g] = np.asarray(u_gamma)
+    uI = np.asarray(u_I)
+    for d in range(part.ndom):
+        nd = int(part.n_interior[d])
+        u[part.interior_l2g[d, :nd]] = uI[d, :nd]
+    dl = maps.dir_l2g
+    u[dl] = u_exact(points[dl, 0], points[dl, 1])
+    return u
+
+
+# ---------------------------------------------------------------------------
+# Neumann-Neumann preconditioner (reference :1111-1403)
+# ---------------------------------------------------------------------------
+
+def _masked_pinv(Sd, gmask):
+    """Batched SVD pseudo-inverse with rtol = √eps·σmax (reference :1181)."""
+    U, s, Vt = jnp.linalg.svd(Sd, full_matrices=False)
+    eps = jnp.finfo(Sd.dtype).eps
+    tol = jnp.sqrt(eps) * s[:, :1]
+    sinv = jnp.where(s > tol, 1.0 / jnp.where(s > tol, s, 1.0), 0.0)
+    P = jnp.einsum("dgk,dk,dhk->dgh", jnp.swapaxes(Vt, -1, -2), sinv, U)
+    return P * gmask[:, :, None] * gmask[:, None, :]
+
+
+def _nn_apply(n_gamma, PiSd, g2g, gmask, cnt_inv, r):
+    rw = r * cnt_inv
+    rd = rw[g2g] * gmask
+    zd = jnp.einsum("dgh,dh->dg", PiSd, rd) * gmask
+    z = jnp.zeros((n_gamma,), r.dtype).at[g2g.reshape(-1)].add(zd.reshape(-1))
+    return z * cnt_inv
+
+
+def prepare_neumann_neumann_schur_precond(S: SchurOperator):
+    """Batched pinv of the (singular) local Schur complements; apply =
+    multiplicity-weighted scatter → ΠSd matmul → weighted gather
+    (reference :1361-1383)."""
+    Sd = assemble_local_schurs(S)
+    PiSd = _masked_pinv(Sd, S.gmask)
+    cnt_inv = 1.0 / S.gamma_cnt
+    from functools import partial as fpartial
+    return Partial(fpartial(_nn_apply, S.n_gamma), PiSd, S.gammad_to_gamma,
+                   S.gmask, cnt_inv)

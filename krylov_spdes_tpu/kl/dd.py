@@ -1,0 +1,253 @@
+"""Two-level (domain-decomposed) Karhunen-Loève expansion, batched.
+
+Redesign of /root/reference/Fem/KarhunenLoeveDomainDecomposition.jl:40-845
+(Lindgren-style two-level KL):
+
+- The reference loops subdomains serially: local dense covariance assembly in
+  O(n_d²·nel_d) scalar passes (:120-293), ARPACK local eigensolves (:679),
+  then a reduced global problem K[αβ] = Φdᵀ C Φd' assembled pairwise with
+  center-distance `forget` screening (:499-501), dense `eigen(Symmetric(K))`,
+  and projection back to mesh nodes with multiplicity averaging (:920-983).
+- Key identity exploited here (same as kl/single.py): the reference's
+  quadrature makes every covariance block C_{dd'} = M_d Ĉ_{dd'} M_{d'} with
+  M_d the local P1 mass matrix and Ĉ nodal covariance samples. Defining
+  ρ_d = M_d Φ_d, the reduced blocks collapse to K_{dd'} = ρ_dᵀ Ĉ_{dd'} ρ_{d'}
+  — pure batched dense matmuls over (pair, n_max, n_max) tiles: MXU work.
+- Subdomains are padded to a common n_max/m_max with masks; local generalized
+  eigensolves are one batched Cholesky + batched eigh; per-domain truncation
+  zeroes trailing mode columns instead of changing shapes.
+
+The `pll_*` distributed flavor (KarhunenLoevePllDomainDecomposition.jl) is the
+same computation with the dom/pair axes sharded — see parallel/.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.mesh import element_geometry
+from .covariance import cov_matrix
+from .synthesis import trim_and_order
+
+
+@dataclasses.dataclass
+class KLSubdomains:
+    """Padded per-subdomain node/element structures (set_subdomain analogue,
+    reference :40-80; a subdomain's node set = all nodes of its elements)."""
+    ndom: int
+    n_max: int
+    nodes: np.ndarray        # (ndom, n_max) global node ids, -1 pad
+    node_mask: np.ndarray    # (ndom, n_max) bool
+    n_nodes: np.ndarray      # (ndom,)
+    centers: np.ndarray      # (ndom, 2)
+    areas: np.ndarray        # (ndom,)
+    M_local: jnp.ndarray     # (ndom, n_max, n_max) local mass matrices
+    cnt: np.ndarray          # (nnode,) #subdomains containing each node
+
+
+def set_kl_subdomains(cells, points, epart, ndom, dtype=None) -> KLSubdomains:
+    dtype = dtype or (jnp.float64 if jax.config.read("jax_enable_x64")
+                      else jnp.float32)
+    nnode = points.shape[0]
+    _, _, area = element_geometry(cells, points)
+
+    node_lists = []
+    centers = np.zeros((ndom, 2))
+    areas = np.zeros(ndom)
+    for d in range(ndom):
+        els = np.nonzero(epart == d)[0]
+        nodes = np.unique(cells[els].ravel())
+        node_lists.append(nodes)
+        centers[d] = points[nodes].mean(axis=0)
+        areas[d] = area[els].sum()
+    n_nodes = np.array([len(x) for x in node_lists])
+    n_max = int(n_nodes.max())
+    nodes_pad = -np.ones((ndom, n_max), dtype=np.int64)
+    g2l = -np.ones((ndom, nnode), dtype=np.int64)
+    for d, nl in enumerate(node_lists):
+        nodes_pad[d, :len(nl)] = nl
+        g2l[d, nl] = np.arange(len(nl))
+    mask = nodes_pad >= 0
+    cnt = np.zeros(nnode, dtype=np.int64)
+    for nl in node_lists:
+        cnt[nl] += 1
+
+    # batched local mass matrices (do_local_mass_assembly, reference :236-293)
+    M = np.zeros((ndom, n_max, n_max))
+    local = (np.ones((3, 3)) + np.eye(3)) / 12.0
+    for d in range(ndom):
+        els = np.nonzero(epart == d)[0]
+        li = g2l[d][cells[els]]                      # (nel_d, 3)
+        vals = area[els][:, None, None] * local
+        np.add.at(M[d], (li[:, :, None].repeat(3, 2),
+                         li[:, None, :].repeat(3, 1)), vals)
+    return KLSubdomains(ndom=ndom, n_max=n_max, nodes=nodes_pad,
+                        node_mask=mask, n_nodes=n_nodes, centers=centers,
+                        areas=areas, M_local=jnp.asarray(M, dtype=dtype),
+                        cnt=cnt)
+
+
+@jax.jit
+def _local_generalized_eigh(C, M, maskf):
+    """Batched C φ = λ M φ, descending; masked coords get M=I, C=0."""
+    pad = jnp.eye(C.shape[1], dtype=C.dtype)[None] * (1.0 - maskf)[:, :, None]
+    m2 = maskf[:, :, None] * maskf[:, None, :]
+    Mm = M * m2 + pad
+    Cm = C * m2
+    L = jnp.linalg.cholesky(Mm)
+    Y = jax.vmap(lambda l, c: jax.scipy.linalg.solve_triangular(l, c,
+                                                                lower=True))(L, Cm)
+    B = jax.vmap(lambda l, y: jax.scipy.linalg.solve_triangular(l, y.T,
+                                                                lower=True))(L, Y)
+    w, U = jnp.linalg.eigh((B + jnp.swapaxes(B, 1, 2)) / 2)
+    w = w[:, ::-1]
+    U = U[:, :, ::-1]
+    phi = jax.vmap(lambda l, u: jax.scipy.linalg.solve_triangular(
+        l.T, u, lower=False))(L, U)
+    return w, phi
+
+
+def solve_local_kls(sub: KLSubdomains, points, cov, nev: int,
+                    relative: float = 0.99, verbose: bool = False):
+    """Batched local KL eigensolves + per-domain energy truncation
+    (solve_local_kl, reference :657-738). Returns (lam_d (ndom, m_max),
+    phi_d (ndom, n_max, m_max), m_d (ndom,)) with zero-padded trailing modes,
+    and the total expected energy Σ_d area_d·cov(c_d,c_d)."""
+    dtype = sub.M_local.dtype
+    pts = jnp.asarray(points, dtype)
+    maskf = jnp.asarray(sub.node_mask.astype(np.float64), dtype)
+    coords = pts[np.maximum(sub.nodes, 0)]               # (ndom, n_max, 2)
+    Chat = cov(coords[:, :, None, :], coords[:, None, :, :])
+    Chat = Chat * maskf[:, :, None] * maskf[:, None, :]
+    C = jnp.einsum("dij,djk,dlk->dil", sub.M_local, Chat, sub.M_local)
+    w, phi = _local_generalized_eigh(C, sub.M_local, maskf)
+    w = np.asarray(w)[:, :nev]
+    phi = np.asarray(phi)[:, :, :nev]
+
+    # per-domain truncation (energy rule, reference :705-718)
+    c = jnp.asarray(sub.centers, dtype)
+    var0 = np.asarray(cov(c[:, None, :], c[:, None, :]))[:, 0]
+    energy_expected = relative * sub.areas * var0
+    m_d = np.zeros(sub.ndom, dtype=np.int64)
+    for d in range(sub.ndom):
+        e = 0.0
+        for k in range(nev):
+            if w[d, k] <= 0:
+                break
+            m_d[d] += 1
+            e += w[d, k]
+            if e >= energy_expected[d]:
+                break
+        if verbose:
+            print(f"idom = {d}, {m_d[d]}/{nev} vectors kept")
+    m_max = int(m_d.max())
+    lam_d = w[:, :m_max].copy()
+    phi_d = phi[:, :, :m_max].copy()
+    # M-renormalize kept modes; zero dropped columns
+    Mloc = np.asarray(sub.M_local)
+    for d in range(sub.ndom):
+        for k in range(m_max):
+            if k < m_d[d]:
+                nrm = np.sqrt(phi_d[d, :, k] @ Mloc[d] @ phi_d[d, :, k])
+                phi_d[d, :, k] /= nrm
+            else:
+                lam_d[d, k] = 0.0
+                phi_d[d, :, k] = 0.0
+        phi_d[d] *= sub.node_mask[d][:, None]
+    total_energy = float((sub.areas * var0).sum())
+    return lam_d, phi_d, m_d, total_energy
+
+
+def assemble_reduced_covariance(sub: KLSubdomains, points, cov, phi_d,
+                                forget: float = -1.0, pair_chunk: int = 64):
+    """Reduced K over retained local modes with `forget` screening
+    (do_global_mass_covariance_reduced_assembly, reference :465-614).
+    K_{dd'} = ρ_dᵀ Ĉ_{dd'} ρ_{d'} with ρ_d = M_d φ_d, batched over the
+    screened pair list in chunks."""
+    dtype = sub.M_local.dtype
+    ndom, n_max, m_max = phi_d.shape
+    rho = jnp.einsum("dij,djk->dik", sub.M_local, jnp.asarray(phi_d, dtype))
+    pts = jnp.asarray(points, dtype)
+    coords = pts[np.maximum(sub.nodes, 0)]
+    maskf = jnp.asarray(sub.node_mask.astype(np.float64), dtype)
+    coords = coords * maskf[..., None]
+
+    # screened pair list (upper triangle incl. diagonal)
+    c = jnp.asarray(sub.centers, dtype)
+    cc = np.asarray(cov(c[:, None, :], c[None, :, :]))
+    pairs = [(i, j) for i in range(ndom) for j in range(i, ndom)
+             if cc[i, j] > forget]
+    pairs = np.asarray(pairs, dtype=np.int64)
+
+    K = np.zeros((ndom, ndom, m_max, m_max))
+
+    @jax.jit
+    def pair_blocks(pi, pj):
+        ci = coords[pi]                                  # (B, n_max, 2)
+        cj = coords[pj]
+        Ch = cov(ci[:, :, None, :], cj[:, None, :, :])
+        Ch = Ch * maskf[pi][:, :, None] * maskf[pj][:, None, :]
+        return jnp.einsum("bik,bij,bjl->bkl", rho[pi], Ch, rho[pj])
+
+    for s in range(0, len(pairs), pair_chunk):
+        chunk = pairs[s:s + pair_chunk]
+        Kb = np.asarray(pair_blocks(jnp.asarray(chunk[:, 0]),
+                                    jnp.asarray(chunk[:, 1])))
+        for (i, j), kb in zip(chunk, Kb):
+            K[i, j] = kb
+            if i != j:
+                K[j, i] = kb.T
+    # flatten ragged (only first m_d[d] modes meaningful; dropped modes are
+    # zero rows/cols and vanish in the final trim)
+    Kfull = K.transpose(0, 2, 1, 3).reshape(ndom * m_max, ndom * m_max)
+    return Kfull
+
+
+def solve_global_reduced_kl(nnode, K, energy_expected, sub: KLSubdomains,
+                            phi_d, relative: float = 0.99,
+                            verbose: bool = False):
+    """Dense reduced eigensolve + truncation + projection to mesh nodes
+    (reference :783-845, project_on_mesh :920-983)."""
+    w, V = np.linalg.eigh((K + K.T) / 2)
+    w, V = trim_and_order(w, V)
+    target = relative * energy_expected
+    energy, nvec = 0.0, 0
+    for lam in w:
+        energy += lam
+        nvec += 1
+        if energy >= target:
+            break
+    lam = w[:nvec]
+    Vr = V[:, :nvec]
+    if verbose:
+        print(f"{nvec}/{len(w)} vectors kept")
+
+    # project: Ψ[node] = Σ_d Φd · V_d block, multiplicity-averaged
+    ndom, n_max, m_max = phi_d.shape
+    Vr = Vr.reshape(ndom, m_max, nvec)
+    contrib = np.einsum("dnm,dmk->dnk", np.asarray(phi_d), Vr)
+    psi = np.zeros((nnode, nvec))
+    np.add.at(psi, np.maximum(sub.nodes, 0),
+              contrib * sub.node_mask[:, :, None])
+    psi /= np.maximum(sub.cnt, 1)[:, None]
+    return lam, psi
+
+
+def compute_dd_kl(cells, points, epart, ndom, cov, nev: int,
+                  relative_local: float = 0.99, relative_global: float = 0.99,
+                  forget: float = -1.0, verbose: bool = False):
+    """End-to-end two-level KL (orchestrates the reference pipeline of
+    Example04; the distributed Example05 path shards the same stages)."""
+    sub = set_kl_subdomains(cells, points, epart, ndom)
+    lam_d, phi_d, m_d, energy = solve_local_kls(sub, points, cov, nev,
+                                                relative=relative_local,
+                                                verbose=verbose)
+    K = assemble_reduced_covariance(sub, points, cov, phi_d, forget=forget)
+    lam, psi = solve_global_reduced_kl(points.shape[0], K, energy, sub,
+                                       phi_d, relative=relative_global,
+                                       verbose=verbose)
+    return lam, psi

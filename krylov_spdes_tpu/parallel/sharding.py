@@ -1,0 +1,67 @@
+"""Device-mesh sharding for the DD/chain axes.
+
+TPU-native replacement for the reference's Julia Distributed master-worker
+layer (SURVEY.md §2.2): the two units of distribution are
+
+- the `dom` axis of the batched DD blocks (subdomain task parallelism, P3) —
+  local Schur work runs where its blocks live and the Γ scatter-add becomes
+  an XLA all-reduce over ICI, the real halo exchange the reference only
+  sketched (P5, Fem/EllipticPdePllDomainDecomposition.jl:1-19);
+- the `chain` axis for embarrassingly parallel MCMC chains (P4).
+
+Sharding is by annotation (GSPMD): blocks are `device_put` onto a
+NamedSharding and the jitted solver runs unchanged — XLA inserts the
+collectives. There is no analogue of the reference's dynamic fault-tolerant
+scheduler here (PllUtils.jl:97-189): the static mesh replaces scheduling, and
+failure handling moves to checkpoint/restore (utils/persistence.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_dom: int | None = None, n_chain: int = 1,
+              devices=None) -> Mesh:
+    """Mesh with a 'dom' (subdomain/model) axis and a 'chain' (data) axis."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_dom is None:
+        n_dom = devices.size // n_chain
+    assert n_dom * n_chain == devices.size
+    return Mesh(devices.reshape(n_dom, n_chain), axis_names=("dom", "chain"))
+
+
+def shard_schur_operator(S, mesh: Mesh):
+    """Place the batched DD blocks with the leading dom axis sharded over the
+    'dom' mesh axis; Γ-sized vectors stay replicated (they are the small
+    coupled unknowns, like the reference's master-held interface data)."""
+    dom = NamedSharding(mesh, P("dom"))
+    rep = NamedSharding(mesh, P())
+    import dataclasses
+    return dataclasses.replace(
+        S,
+        A_II_L=jax.device_put(S.A_II_L, dom),
+        A_IG=jax.device_put(S.A_IG, dom),
+        A_GGd=jax.device_put(S.A_GGd, dom),
+        gammad_to_gamma=jax.device_put(S.gammad_to_gamma, dom),
+        gmask=jax.device_put(S.gmask, dom),
+        gamma_cnt=jax.device_put(S.gamma_cnt, rep),
+    )
+
+
+def shard_dd_plan(plan, mesh: Mesh):
+    """Replicate the assembly plan (element data is small relative to blocks;
+    a fully element-sharded assembly is the planned upgrade)."""
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, rep), plan)
+
+
+def replicated(x, mesh: Mesh):
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def chain_sharded(x, mesh: Mesh):
+    """Shard a leading chain axis over the 'chain' mesh axis."""
+    return jax.device_put(x, NamedSharding(mesh, P("chain")))

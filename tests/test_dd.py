@@ -1,0 +1,146 @@
+"""Domain-decomposition cross-checks (SURVEY.md §4.1 dual-path equality)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from krylov_spdes_tpu.fem.mesh import get_mesh
+from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+from krylov_spdes_tpu.fem.partition import mesh_partition
+from krylov_spdes_tpu.fem.assembly import (
+    prepare_elliptic_assembly, do_isotropic_elliptic_assembly)
+from krylov_spdes_tpu.fem.dd import set_subdomains, prepare_dd_assembly, \
+    assemble_dd_values
+from krylov_spdes_tpu.fem.schur import (
+    prepare_schur_operator, schur_matvec, get_schur_rhs,
+    assemble_local_schurs, assembled_schur_operator, get_subdomain_solutions,
+    merge_subdomain_solutions, prepare_neumann_neumann_schur_precond)
+from krylov_spdes_tpu.solvers.cg import cg, pcg
+
+
+def fsrc(x, y):
+    return -1.0 + 0.0 * x
+
+
+def uex(x, y):
+    return 0.0 * x
+
+
+def build(nnode=600, ndom=6, seed=0, jitter=0.2):
+    mesh = get_mesh(nnode, jitter=jitter, seed=seed)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    epart, npart = mesh_partition(mesh.cells, mesh.points, ndom,
+                                  mesh.cell_neighbors)
+    part = set_subdomains(mesh.cells, epart, maps, ndom)
+    plan = prepare_dd_assembly(mesh.cells, mesh.points, epart, part, maps,
+                               fsrc, uex)
+    asm = prepare_elliptic_assembly(mesh.cells, mesh.points, maps, fsrc, uex)
+    rng = np.random.default_rng(seed)
+    coeff = np.exp(rng.normal(size=mesh.nnode))
+    return mesh, maps, epart, part, plan, asm, coeff
+
+
+def _dense_schur_from_full(A, b, maps, part):
+    """Ground truth: eliminate interiors from the full assembled system."""
+    Ad = np.asarray(A.todense())
+    bd = np.asarray(b)
+    free_of_global = maps.free_g2l
+    g_idx = free_of_global[part.gamma_l2g]       # free-dof index of Γ nodes
+    i_nodes = np.concatenate([part.interior_l2g[d, :part.n_interior[d]]
+                              for d in range(part.ndom)])
+    i_idx = free_of_global[i_nodes]
+    Agg = Ad[np.ix_(g_idx, g_idx)]
+    Agi = Ad[np.ix_(g_idx, i_idx)]
+    Aii = Ad[np.ix_(i_idx, i_idx)]
+    S = Agg - Agi @ np.linalg.solve(Aii, Agi.T)
+    b_s = bd[g_idx] - Agi @ np.linalg.solve(Aii, bd[i_idx])
+    return S, b_s, g_idx, i_idx
+
+
+def test_schur_matvec_matches_dense_elimination():
+    mesh, maps, epart, part, plan, asm, coeff = build()
+    A_II, A_IG, A_GGd, b_I, b_G = assemble_dd_values(plan, jnp.asarray(coeff))
+    S = prepare_schur_operator(plan, part, A_II, A_IG, A_GGd)
+    A, b = do_isotropic_elliptic_assembly(asm, coeff)
+    S_ref, bs_ref, g_idx, _ = _dense_schur_from_full(A, b, maps, part)
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=part.n_gamma)
+    np.testing.assert_allclose(np.asarray(schur_matvec(S, jnp.asarray(x))),
+                               S_ref @ x, rtol=1e-9, atol=1e-10)
+    # assembled Sd path agrees with matrix-free path (SURVEY §4.1 cross-check)
+    Sa = assembled_schur_operator(S)
+    np.testing.assert_allclose(np.asarray(Sa(jnp.asarray(x))), S_ref @ x,
+                               rtol=1e-9, atol=1e-10)
+    # Schur RHS
+    bs = np.asarray(get_schur_rhs(S, b_I, b_G))
+    np.testing.assert_allclose(bs, bs_ref, rtol=1e-9, atol=1e-11)
+
+
+def test_dd_solution_equals_monolithic():
+    """extrema(u_dd - u_mono) check (Example03:204)."""
+    mesh, maps, epart, part, plan, asm, coeff = build(nnode=900, ndom=8,
+                                                      seed=3)
+    A, b = do_isotropic_elliptic_assembly(asm, coeff)
+    u_mono = np.asarray(cg(A, b, rtol=1e-12).x)
+
+    A_II, A_IG, A_GGd, b_I, b_G = assemble_dd_values(plan, jnp.asarray(coeff))
+    S = prepare_schur_operator(plan, part, A_II, A_IG, A_GGd)
+    b_s = get_schur_rhs(S, b_I, b_G)
+    res = cg(S, b_s, rtol=1e-12)
+    u_gamma = res.x
+    u_I = get_subdomain_solutions(S, u_gamma, b_I)
+    u = merge_subdomain_solutions(part, maps, mesh.points, uex, u_gamma, u_I)
+
+    u_full = np.zeros(mesh.nnode)
+    u_full[maps.free_l2g] = u_mono
+    np.testing.assert_allclose(u, u_full, rtol=1e-6, atol=1e-8)
+
+
+def test_nn_preconditioner_accelerates():
+    mesh, maps, epart, part, plan, asm, coeff = build(nnode=2000, ndom=12,
+                                                      seed=4)
+    A_II, A_IG, A_GGd, b_I, b_G = assemble_dd_values(plan, jnp.asarray(coeff))
+    S = prepare_schur_operator(plan, part, A_II, A_IG, A_GGd)
+    b_s = get_schur_rhs(S, b_I, b_G)
+    plain = cg(S, b_s)
+    Pnn = prepare_neumann_neumann_schur_precond(S)
+    prec = pcg(S, b_s, M=Pnn)
+    assert prec.history()[-1] <= 1e-7 * np.linalg.norm(np.asarray(b_s))
+    assert int(prec.it) < int(plain.it), (int(prec.it), int(plain.it))
+    # both give the same u_Γ
+    np.testing.assert_allclose(np.asarray(prec.x), np.asarray(plain.x),
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_local_schurs_sum_to_global():
+    """Σ_d scatter(Sd) == S  (Example03:175 global-vs-local equality)."""
+    mesh, maps, epart, part, plan, asm, coeff = build(nnode=500, ndom=5,
+                                                      seed=6)
+    A_II, A_IG, A_GGd, b_I, b_G = assemble_dd_values(plan, jnp.asarray(coeff))
+    S = prepare_schur_operator(plan, part, A_II, A_IG, A_GGd)
+    Sd = np.asarray(assemble_local_schurs(S))
+    S_sum = np.zeros((part.n_gamma, part.n_gamma))
+    for d in range(part.ndom):
+        nd = int(part.n_gammad[d])
+        gl = part.gammad_to_gamma[d, :nd]
+        S_sum[np.ix_(gl, gl)] += Sd[d, :nd, :nd]
+    A, b = do_isotropic_elliptic_assembly(asm, coeff)
+    S_ref, _, _, _ = _dense_schur_from_full(A, b, maps, part)
+    np.testing.assert_allclose(S_sum, S_ref, rtol=1e-9, atol=1e-10)
+
+
+@pytest.mark.parametrize("ndom", [3, 7])
+def test_partition_structures_consistent(ndom):
+    mesh, maps, epart, part, plan, asm, coeff = build(nnode=400, ndom=ndom,
+                                                      seed=7)
+    # every free node is exactly one of: interior of one dom, or on Γ
+    n_int = int(part.n_interior.sum())
+    assert n_int + part.n_gamma == maps.n_free
+    # multiplicity >= 2 on Γ
+    assert part.gamma_cnt.min() >= 2
+    # Γd tables consistent
+    for d in range(part.ndom):
+        nd = int(part.n_gammad[d])
+        gl = part.gammad_to_gamma[d, :nd]
+        assert np.all(part.gamma_to_gammad[d, gl] == np.arange(nd))
