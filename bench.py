@@ -24,6 +24,8 @@ def main():
                                                do_isotropic_elliptic_assembly)
     from krylov_spdes_tpu.solvers.cg import cg
 
+    from krylov_spdes_tpu.ops.stencil import build_stencil_op, to_full_vector
+
     nnode = int(os.environ.get("BENCH_NNODE", "250000"))
     mesh = get_mesh(nnode)
     maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
@@ -33,17 +35,23 @@ def main():
     rng = np.random.default_rng(0)
     coeff = np.exp(0.3 * rng.normal(size=mesh.nnode))
     A, b = do_isotropic_elliptic_assembly(asm, coeff)
-    b = jnp.asarray(b)
+    m1 = int(round(np.sqrt(mesh.nnode)))
+    St = build_stencil_op(A, maps, (m1, m1))   # gather-free SpMV path
+    b_full = to_full_vector(maps, jnp.asarray(b), mesh.nnode)
     maxit = 2000
 
-    # warm-up / compile
-    r = cg(A, b, maxit=maxit, rtol=1e-5)
-    jax.block_until_ready(r.x)
+    # warm-up / compile; float() forces full execution + readback (the axon
+    # tunnel's block_until_ready is unreliable for timing)
+    r = cg(St, b_full, maxit=maxit, rtol=1e-6)
+    float(jnp.sum(r.x))
 
-    t0 = time.time()
-    r = cg(A, b, maxit=maxit, rtol=1e-5)
-    jax.block_until_ready(r.x)
-    dt = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        r = cg(St, b_full, maxit=maxit, rtol=1e-6)
+        float(jnp.sum(r.x))
+        times.append(time.time() - t0)
+    dt = sorted(times)[1]   # median of 3
 
     iters = int(r.it)
     nnz = A.nnz

@@ -1,0 +1,95 @@
+"""Shared driver scaffolding: config layer + problem setup.
+
+The reference has no config system — every Example*.jl hardcodes globals at
+the top of the file and shares them with helper functions through module
+globals (acknowledged tech debt, SURVEY.md §5). Here every example driver
+takes CLI flags with reference-matching defaults and persists artifacts to
+data/ under the reference's naming convention.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--nnode", type=int, default=4000,
+                   help="tentative number of mesh nodes")
+    p.add_argument("--ndom", type=int, default=20, help="subdomains")
+    p.add_argument("--sig2", type=float, default=1.0, help="field variance")
+    p.add_argument("--L", type=float, default=0.1, help="correlation length")
+    p.add_argument("--model", default="SExp", choices=["SExp", "Exp"])
+    p.add_argument("--nreals", type=int, default=20, help="realizations")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true",
+                   help="force CPU backend (f64)")
+    p.add_argument("--data-dir", default="data")
+    return p
+
+
+def init_backend(args):
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    return jax
+
+
+def fsrc(x, y):
+    return -1.0 + 0.0 * x
+
+
+def uex(x, y):
+    return 0.0 * x
+
+
+def build_fem(args):
+    from krylov_spdes_tpu.fem.mesh import get_mesh
+    from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+    from krylov_spdes_tpu.fem.assembly import prepare_elliptic_assembly
+    mesh = get_mesh(args.nnode, jitter=0.2, seed=args.seed)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    asm = prepare_elliptic_assembly(mesh.cells, mesh.points, maps, fsrc, uex)
+    return mesh, maps, asm
+
+
+def build_kl(args, mesh, nev=50, relative=0.995, verbose=True):
+    from krylov_spdes_tpu.fem.assembly import get_mass_matrix
+    from krylov_spdes_tpu.kl.covariance import make_cov
+    from krylov_spdes_tpu.kl.single import solve_kl
+    cov = make_cov(args.model, args.sig2, args.L)
+    M = get_mass_matrix(mesh.cells, mesh.points)
+    lam, psi = solve_kl(mesh.cells, mesh.points, cov, nev, M,
+                        relative=relative, verbose=verbose)
+    return cov, M, lam, psi
+
+
+def build_dd(args, mesh, maps):
+    from krylov_spdes_tpu.fem.partition import mesh_partition
+    from krylov_spdes_tpu.fem.dd import set_subdomains, prepare_dd_assembly
+    epart, npart = mesh_partition(mesh.cells, mesh.points, args.ndom,
+                                  mesh.cell_neighbors)
+    part = set_subdomains(mesh.cells, epart, maps, args.ndom)
+    plan = prepare_dd_assembly(mesh.cells, mesh.points, epart, part, maps,
+                               fsrc, uex)
+    return epart, part, plan
+
+
+def root_fname(args) -> str:
+    from krylov_spdes_tpu.kl.helper import get_root_filename
+    return get_root_filename(args.model, args.sig2, args.L, args.nnode)
+
+
+def save_npz(args, name: str, **arrays):
+    os.makedirs(args.data_dir, exist_ok=True)
+    path = os.path.join(args.data_dir, f"{root_fname(args)}.{name}.npz")
+    np.savez(path, **arrays)
+    print(f"saved {path}")
+    return path

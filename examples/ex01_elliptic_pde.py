@@ -1,0 +1,39 @@
+"""Example01: deterministic elliptic solve with AMG-PCG.
+
+Mirrors /root/reference/Example01_EllipticPde.jl:48-66 — assemble, solve with
+smoothed-aggregation AMG-preconditioned CG, re-insert Dirichlet values,
+persist the solution.
+"""
+
+from common import base_parser, init_backend, build_fem, save_npz, uex
+
+import numpy as np
+
+
+def main():
+    args = base_parser(__doc__).parse_args()
+    jax = init_backend(args)
+    from krylov_spdes_tpu.fem.assembly import do_isotropic_elliptic_assembly
+    from krylov_spdes_tpu.fem.bc import append_bc
+    from krylov_spdes_tpu.precond.amg import amg_precond
+    from krylov_spdes_tpu.solvers.cg import pcg
+    from krylov_spdes_tpu.utils.metrics import PhaseMetrics
+
+    m = PhaseMetrics()
+    mesh, maps, asm = build_fem(args)
+    with m.phase("assembly"):
+        A, b = do_isotropic_elliptic_assembly(asm, np.ones(mesh.nnode))
+    with m.phase("amg_setup"):
+        M = amg_precond(A)
+    with m.phase("pcg", nnz=A.nnz):
+        res = pcg(A, b, M=M)
+        jax.block_until_ready(res.x)
+    u = append_bc(maps, np.asarray(res.x), mesh.points, uex)
+    print(f"n={maps.n_free} it={int(res.it)} "
+          f"rel={res.history()[-1] / np.linalg.norm(np.asarray(b)):.2e}")
+    save_npz(args, "ex01.solution", u=u, iters=np.asarray([int(res.it)]))
+    m.dump()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,32 @@
+"""Example02: single-domain KL expansion + field realization.
+
+Mirrors /root/reference/Example02_KarhunenLoeve.jl:39-46.
+"""
+
+from common import base_parser, init_backend, build_fem, build_kl, save_npz
+
+import numpy as np
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--nev", type=int, default=50)
+    args = p.parse_args()
+    jax = init_backend(args)
+    from krylov_spdes_tpu.kl.synthesis import draw, get_kl_coordinates
+    import jax.numpy as jnp
+
+    mesh, maps, asm = build_fem(args)
+    cov, M, lam, psi = build_kl(args, mesh, nev=args.nev)
+    key = jax.random.PRNGKey(args.seed)
+    xi, g = draw(jnp.asarray(lam), jnp.asarray(psi), key)
+    # round-trip check (SURVEY §4.2)
+    chi = np.asarray(get_kl_coordinates(g, jnp.asarray(lam),
+                                        jnp.asarray(psi), M))
+    print(f"kept {len(lam)} modes; latent round-trip max err "
+          f"{np.abs(chi - np.asarray(xi)).max():.2e}")
+    save_npz(args, "ex02.kl", lam=lam, psi=psi, g=np.asarray(g))
+
+
+if __name__ == "__main__":
+    main()

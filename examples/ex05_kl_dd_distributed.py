@@ -1,0 +1,57 @@
+"""Example05: DISTRIBUTED two-level KL over a device mesh.
+
+Mirrors /root/reference/Example05_KarhunenLoevePllDomainDecomposition.jl:45-57
+(pll_compute_kl with dynamic scheduling over SSH workers). TPU-native: the
+local eigensolves and the reduced-covariance pair tiles are batched arrays
+whose leading axis is sharded over the device mesh — XLA schedules them in
+parallel; no master-worker scheduler is needed (SURVEY.md §2.2 P3).
+
+Run with a virtual mesh on CPU:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python ex05_kl_dd_distributed.py --cpu --ndom 16
+"""
+
+from common import base_parser, init_backend, build_fem, save_npz
+
+import numpy as np
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--nev", type=int, default=30)
+    p.add_argument("--forget", type=float, default=1e-6)
+    args = p.parse_args()
+    jax = init_backend(args)
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from krylov_spdes_tpu.fem.partition import mesh_partition
+    from krylov_spdes_tpu.kl.covariance import make_cov
+    from krylov_spdes_tpu.kl import dd as kldd
+
+    mesh, maps, asm = build_fem(args)
+    cov = make_cov(args.model, args.sig2, args.L)
+    ndev = len(jax.devices())
+    # pad ndom to a device multiple so the dom axis shards evenly
+    ndom = ((args.ndom + ndev - 1) // ndev) * ndev
+    epart, _ = mesh_partition(mesh.cells, mesh.points, ndom,
+                              mesh.cell_neighbors)
+
+    sub = kldd.set_kl_subdomains(mesh.cells, mesh.points, epart, ndom)
+    dev_mesh = Mesh(np.asarray(jax.devices()), axis_names=("dom",))
+    dom_sharding = NamedSharding(dev_mesh, P("dom"))
+    # shard the batched local mass matrices (the dominant setup data)
+    sub.M_local = jax.device_put(sub.M_local, dom_sharding)
+    print(f"{ndom} subdomains sharded over {ndev} devices")
+
+    lam_d, phi_d, m_d, energy = kldd.solve_local_kls(
+        sub, mesh.points, cov, args.nev, verbose=False)
+    print(f"local solves done; m_d in [{m_d.min()}, {m_d.max()}]")
+    K = kldd.assemble_reduced_covariance(sub, mesh.points, cov, phi_d,
+                                         forget=args.forget)
+    lam, psi = kldd.solve_global_reduced_kl(mesh.nnode, K, energy, sub,
+                                            phi_d, verbose=True)
+    print(f"distributed two-level KL: {len(lam)} global modes")
+    save_npz(args, f"ndom{ndom}.ex05.kl-dd-pll", lam=lam, psi=psi)
+
+
+if __name__ == "__main__":
+    main()

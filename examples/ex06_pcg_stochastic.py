@@ -1,0 +1,79 @@
+"""Example06: stochastic elliptic PDE — constant vs rebuilt preconditioners.
+
+Mirrors /root/reference/Example06_PcgStochasticEllipticPde.jl:95-675: nreals
+MC samples; for each strategy (AMG / LORASC / block-Jacobi) compare the
+"median" preconditioner (built once at ξ=0) against one rebuilt per sample;
+record per-sample iteration counts to NPZ (the reference's regression
+surface, SURVEY.md §4.3).
+"""
+
+from common import (base_parser, init_backend, build_fem, build_kl, build_dd,
+                    save_npz)
+
+import numpy as np
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--strategies", default="amg,lorasc,bj")
+    args = p.parse_args()
+    jax = init_backend(args)
+    import jax.numpy as jnp
+    from krylov_spdes_tpu.fem.assembly import do_isotropic_elliptic_assembly
+    from krylov_spdes_tpu.fem.dd import assemble_dd_values
+    from krylov_spdes_tpu.fem.schur import prepare_schur_operator
+    from krylov_spdes_tpu.precond.amg import amg_precond
+    from krylov_spdes_tpu.precond.block_jacobi import (
+        prepare_block_jacobi_plan, block_jacobi_precond)
+    from krylov_spdes_tpu.precond.dd_preconds import prepare_lorasc_precond
+    from krylov_spdes_tpu.samplers.samplers import prepare_mc_sampler, draw
+    from krylov_spdes_tpu.solvers.cg import pcg
+
+    mesh, maps, asm = build_fem(args)
+    cov, M, lam, psi = build_kl(args, mesh)
+    epart, part, plan = build_dd(args, mesh, maps)
+    smp = prepare_mc_sampler(lam, psi, key=args.seed)
+
+    # median operator (xi = 0 -> g = 0 -> coeff = 1)
+    A0, _ = do_isotropic_elliptic_assembly(asm, np.ones(mesh.nnode))
+    strategies = args.strategies.split(",")
+    bj_plan = prepare_block_jacobi_plan(A0, max(2, args.ndom))
+
+    def build_precond(name, A, coeff):
+        if name == "amg":
+            return amg_precond(A)
+        if name == "bj":
+            return block_jacobi_precond(A, max(2, args.ndom), plan=bj_plan)
+        if name == "lorasc":
+            blocks = assemble_dd_values(plan, jnp.asarray(coeff))
+            S = prepare_schur_operator(plan, part, *blocks[:3])
+            return prepare_lorasc_precond(
+                S, part, maps, nvec=min(25, part.n_gamma // 2 or 1),
+                eps_threshold=0.01)
+        raise ValueError(name)
+
+    const_preconds = {s: build_precond(s, A0, np.ones(mesh.nnode))
+                      for s in strategies}
+    iters = {f"{s}_{mode}": np.zeros(args.nreals, dtype=np.int64)
+             for s in strategies for mode in ("const", "rebuilt")}
+
+    for ireal in range(args.nreals):
+        smp, _ = draw(smp)
+        coeff = np.exp(np.asarray(smp.g))
+        A, b = do_isotropic_elliptic_assembly(asm, coeff)
+        for s in strategies:
+            r = pcg(A, b, M=const_preconds[s])
+            iters[f"{s}_const"][ireal] = int(r.it)
+            r = pcg(A, b, M=build_precond(s, A, coeff))
+            iters[f"{s}_rebuilt"][ireal] = int(r.it)
+        print(f"real {ireal}: " + "  ".join(
+            f"{s}: {iters[f'{s}_const'][ireal]}/{iters[f'{s}_rebuilt'][ireal]}"
+            for s in strategies), flush=True)
+
+    for k, v in iters.items():
+        print(f"{k}: mean {v.mean():.1f} ± {v.std():.1f}")
+    save_npz(args, f"ndom{args.ndom}.ex06.iters", **iters)
+
+
+if __name__ == "__main__":
+    main()

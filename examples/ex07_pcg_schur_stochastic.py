@@ -1,0 +1,70 @@
+"""Example07: stochastic Schur-complement PCG with NN / A_ΓΓ preconditioners.
+
+Mirrors /root/reference/Example07_PcgSchurStochasticEllipticPde.jl:86-424:
+per realization, refill the DD blocks, condense, and solve the interface
+system with (a) constant "median" NN, (b) rebuilt NN, (c) A_ΓΓ-Cholesky
+preconditioners; record iteration counts.
+"""
+
+from common import (base_parser, init_backend, build_fem, build_kl, build_dd,
+                    save_npz)
+
+import numpy as np
+
+
+def main():
+    args = base_parser(__doc__).parse_args()
+    jax = init_backend(args)
+    import jax.numpy as jnp
+    from jax.tree_util import Partial
+    from krylov_spdes_tpu.fem.dd import assemble_dd_values
+    from krylov_spdes_tpu.fem.schur import (
+        prepare_schur_operator, get_schur_rhs,
+        prepare_neumann_neumann_schur_precond)
+    from krylov_spdes_tpu.precond.dd_preconds import assemble_gamma_matrix
+    from krylov_spdes_tpu.samplers.samplers import prepare_mc_sampler, draw
+    from krylov_spdes_tpu.solvers.cg import pcg
+
+    mesh, maps, asm = build_fem(args)
+    cov, M, lam, psi = build_kl(args, mesh)
+    epart, part, plan = build_dd(args, mesh, maps)
+    smp = prepare_mc_sampler(lam, psi, key=args.seed)
+
+    blocks0 = assemble_dd_values(plan, jnp.ones(mesh.nnode,
+                                                plan.kflat.dtype))
+    S0 = prepare_schur_operator(plan, part, *blocks0[:3])
+    Pnn0 = prepare_neumann_neumann_schur_precond(S0)
+
+    def gamma_chol_precond(S):
+        L = jnp.linalg.cholesky(assemble_gamma_matrix(S))
+
+        def apply(L, r):
+            import jax.scipy.linalg as jsl
+            return jsl.solve_triangular(L.T, jsl.solve_triangular(
+                L, r, lower=True), lower=False)
+        return Partial(apply, L)
+
+    names = ["nn_const", "nn_rebuilt", "gamma_chol"]
+    iters = {k: np.zeros(args.nreals, dtype=np.int64) for k in names}
+    for ireal in range(args.nreals):
+        smp, _ = draw(smp)
+        coeff = jnp.exp(smp.g)
+        A_II, A_IG, A_GGd, b_I, b_G = assemble_dd_values(plan, coeff)
+        S = prepare_schur_operator(plan, part, A_II, A_IG, A_GGd)
+        b_s = get_schur_rhs(S, b_I, b_G)
+        for name, Mp in [("nn_const", Pnn0),
+                         ("nn_rebuilt",
+                          prepare_neumann_neumann_schur_precond(S)),
+                         ("gamma_chol", gamma_chol_precond(S))]:
+            r = pcg(S, b_s, M=Mp)
+            iters[name][ireal] = int(r.it)
+        print(f"real {ireal}: " + "  ".join(
+            f"{k}={iters[k][ireal]}" for k in names), flush=True)
+
+    for k, v in iters.items():
+        print(f"{k}: mean {v.mean():.1f} ± {v.std():.1f}")
+    save_npz(args, f"ndom{args.ndom}.ex07.iters", **iters)
+
+
+if __name__ == "__main__":
+    main()

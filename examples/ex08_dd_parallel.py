@@ -1,0 +1,52 @@
+"""Example08: parallel (sharded) Schur-DD solve.
+
+The reference's Example08/10 are "work in progress" stubs; the sketch in
+Fem/EllipticPdePllDomainDecomposition.jl:1-19 (a commented-out `@distributed
+(+)` Schur matvec) is here a REAL sharded solve: the dom axis of the batched
+blocks is placed over the device mesh and XLA turns the Γ scatter-add into an
+all-reduce over ICI.
+
+Run with a virtual mesh:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python ex08_dd_parallel.py --cpu --ndom 16
+"""
+
+from common import base_parser, init_backend, build_fem, build_dd, save_npz
+
+import numpy as np
+
+
+def main():
+    args = base_parser(__doc__).parse_args()
+    jax = init_backend(args)
+    import jax.numpy as jnp
+    from krylov_spdes_tpu.fem.dd import assemble_dd_values
+    from krylov_spdes_tpu.fem.schur import (
+        prepare_schur_operator, get_schur_rhs,
+        prepare_neumann_neumann_schur_precond)
+    from krylov_spdes_tpu.parallel.sharding import (make_mesh,
+                                                    shard_schur_operator)
+    from krylov_spdes_tpu.solvers.cg import pcg
+
+    ndev = len(jax.devices())
+    args.ndom = ((args.ndom + ndev - 1) // ndev) * ndev
+    mesh, maps, asm = build_fem(args)
+    epart, part, plan = build_dd(args, mesh, maps)
+    rng = np.random.default_rng(args.seed)
+    coeff = jnp.asarray(np.exp(rng.normal(size=mesh.nnode)),
+                        plan.kflat.dtype)
+
+    dev_mesh = make_mesh(n_dom=ndev, n_chain=1)
+    A_II, A_IG, A_GGd, b_I, b_G = assemble_dd_values(plan, coeff)
+    S = prepare_schur_operator(plan, part, A_II, A_IG, A_GGd)
+    S = shard_schur_operator(S, dev_mesh)
+    b_s = get_schur_rhs(S, b_I, b_G)
+    Pnn = prepare_neumann_neumann_schur_precond(S)
+    r = pcg(S, b_s, M=Pnn)
+    print(f"sharded NN-PCG over {ndev} devices: {int(r.it)} iters, "
+          f"rel {r.history()[-1] / np.linalg.norm(np.asarray(b_s)):.2e}")
+    save_npz(args, f"ndom{args.ndom}.ex08", iters=np.asarray([int(r.it)]))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Example09: MCMC chains with online deflation recycling (eigDef-PCG).
+
+Mirrors /root/reference/Example09_DefPcgMcmcStochasticEllipticPde.jl:130-143
+and its _Functions.jl:139-509: per chain, per sample — RW-Metropolis draw,
+on-device operator refill, solve with {pcg, eigpcg, eigdefpcg, defpcg} under a
+constant "median" preconditioner; the deflation basis W is recycled sample to
+sample; chains whose basis degenerates (rank(W) < 0.9 nvec) are flagged; on
+solver breakdown the (A, b, W) fixture is dumped (SURVEY.md §4.5-4.6) and the
+chain checkpoint allows resume instead of discard-and-rerun.
+"""
+
+from common import (base_parser, init_backend, build_fem, build_kl, save_npz,
+                    root_fname)
+
+import os
+import numpy as np
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--nchains", type=int, default=3)
+    p.add_argument("--nsmp", type=int, default=5)
+    p.add_argument("--nvec", type=int, default=None,
+                   help="default floor(1.25*ndom) like the reference")
+    p.add_argument("--maxit", type=int, default=5000)
+    args = p.parse_args()
+    jax = init_backend(args)
+    import jax.numpy as jnp
+    from krylov_spdes_tpu.fem.assembly import do_isotropic_elliptic_assembly
+    from krylov_spdes_tpu.precond.amg import amg_precond
+    from krylov_spdes_tpu.samplers.samplers import prepare_mcmc_sampler, draw
+    from krylov_spdes_tpu.solvers.cg import pcg
+    from krylov_spdes_tpu.solvers.eigcg import eigpcg
+    from krylov_spdes_tpu.solvers.defcg import defpcg, eigdefpcg
+    from krylov_spdes_tpu.solvers.base import check_w_rank
+    from krylov_spdes_tpu.utils.persistence import (
+        save_deflated_system, save_chain_checkpoint)
+
+    nvec = args.nvec or int(1.25 * args.ndom)
+    spdim = 3 * args.ndom
+    spdim = max(spdim, 2 * nvec + 1)
+    mesh, maps, asm = build_fem(args)
+    cov, M, lam, psi = build_kl(args, mesh)
+
+    # constant "median" preconditioner
+    A0, _ = do_isotropic_elliptic_assembly(asm, np.ones(mesh.nnode))
+    M0 = amg_precond(A0)
+
+    methods = ["pcg", "eigpcg", "eigdefpcg", "defpcg"]
+    iters = {m: np.zeros((args.nchains, args.nsmp), dtype=np.int64)
+             for m in methods}
+    status = np.zeros(args.nchains, dtype=np.int64)
+
+    for ic in range(args.nchains):
+        smp = prepare_mcmc_sampler(lam, psi, key=args.seed * 1000 + ic)
+        W = {m: None for m in methods}
+        for s in range(args.nsmp):
+            if s > 0:
+                smp, cnt = draw(smp)
+            A, b = do_isotropic_elliptic_assembly(asm, jnp.exp(smp.g))
+            for m in methods:
+                if m == "pcg":
+                    r = pcg(A, b, M=M0, maxit=args.maxit)
+                elif m == "eigpcg":
+                    r = eigpcg(A, b, M=M0, nvec=nvec, spdim=spdim,
+                               maxit=args.maxit)
+                elif m == "eigdefpcg":
+                    if W[m] is None:
+                        r = eigpcg(A, b, M=M0, nvec=nvec, spdim=spdim,
+                                   maxit=args.maxit)
+                    else:
+                        r = eigdefpcg(A, b, M=M0, W=W[m], spdim=spdim,
+                                      maxit=args.maxit)
+                else:  # defpcg with the eigpcg-seeded basis
+                    if W["eigpcg"] is None:
+                        r = pcg(A, b, M=M0, maxit=args.maxit)
+                    else:
+                        r = defpcg(A, b, W=W["eigpcg"], M=M0,
+                                   maxit=args.maxit)
+                iters[m][ic, s] = int(r.it)
+                if r.failed:
+                    path = os.path.join(args.data_dir,
+                                        f"{root_fname(args)}.ex09-failed-"
+                                        f"c{ic}s{s}-{m}.npz")
+                    save_deflated_system(path, A, np.asarray(b),
+                                         np.asarray(W[m]) if W[m] is not None
+                                         else np.zeros((maps.n_free, 0)))
+                    status[ic] = -1
+                if r.W is not None:
+                    if not check_w_rank(r.W):
+                        print(f"chain {ic}: rank(W) < 0.9 nvec at s={s} "
+                              f"({m}) — flagged")
+                        status[ic] = -1
+                    W[m] = r.W
+            print(f"chain {ic} s={s}: " + " ".join(
+                f"{m}={iters[m][ic, s]}" for m in methods), flush=True)
+            ckpt = os.path.join(args.data_dir,
+                                f"{root_fname(args)}.ex09-chain{ic}.ckpt.npz")
+            save_chain_checkpoint(
+                ckpt, smp,
+                W["eigdefpcg"] if W["eigdefpcg"] is not None else
+                np.zeros((maps.n_free, 0)), s, iters["eigdefpcg"][ic])
+
+    for m in methods:
+        print(f"{m}: mean per-sample iters "
+              f"{iters[m].mean(axis=0).round(1)}")
+    save_npz(args, f"ndom{args.ndom}.ex09.iters", status=status,
+             **{m: iters[m] for m in methods})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,42 @@
+"""Example10: large deterministic solve (scale point).
+
+Mirrors /root/reference/Example10_EllipticPdePllPcg.jl (2M-DoF validation
+point). Uses the gather-free stencil SpMV path — the TPU speed-of-light
+operator form.
+"""
+
+from common import base_parser, init_backend, build_fem, save_npz
+
+import time
+import numpy as np
+
+
+def main():
+    p = base_parser(__doc__)
+    p.set_defaults(nnode=1_000_000)
+    args = p.parse_args()
+    jax = init_backend(args)
+    import jax.numpy as jnp
+    from krylov_spdes_tpu.fem.assembly import do_isotropic_elliptic_assembly
+    from krylov_spdes_tpu.ops.stencil import build_stencil_op, to_full_vector
+    from krylov_spdes_tpu.solvers.cg import cg
+
+    mesh, maps, asm = build_fem(args)
+    rng = np.random.default_rng(args.seed)
+    A, b = do_isotropic_elliptic_assembly(
+        asm, np.exp(0.3 * rng.normal(size=mesh.nnode)))
+    m1 = int(round(np.sqrt(mesh.nnode)))
+    St = build_stencil_op(A, maps, (m1, m1))
+    b_full = to_full_vector(maps, jnp.asarray(b), mesh.nnode)
+    t0 = time.time()
+    r = cg(St, b_full, maxit=8000)
+    float(jnp.sum(r.x))
+    dt = time.time() - t0
+    print(f"n={mesh.nnode} it={int(r.it)} t={dt:.1f}s "
+          f"-> {A.nnz * int(r.it) / dt / 1e9:.1f} Gnnz/s")
+    save_npz(args, "ex10", iters=np.asarray([int(r.it)]),
+             time_s=np.asarray([dt]))
+
+
+if __name__ == "__main__":
+    main()

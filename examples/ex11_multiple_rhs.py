@@ -1,0 +1,56 @@
+"""Example11: multiple right-hand sides with a constant operator.
+
+Mirrors /root/reference/Example11_EigInitPcgEllipticPdeMultipleRhs.jl:140-148:
+constant A, MC-sampled RHS sequence; compare Init-PCG and eigPCG/eigDef-PCG
+(incremental eigenvector harvesting across solves).
+"""
+
+from common import base_parser, init_backend, build_fem, build_kl, save_npz
+
+import numpy as np
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--nvec", type=int, default=10)
+    p.add_argument("--spdim", type=int, default=30)
+    args = p.parse_args()
+    jax = init_backend(args)
+    import jax.numpy as jnp
+    from krylov_spdes_tpu.fem.assembly import do_isotropic_elliptic_assembly
+    from krylov_spdes_tpu.precond.amg import amg_precond
+    from krylov_spdes_tpu.solvers.cg import pcg
+    from krylov_spdes_tpu.solvers.eigcg import eigpcg
+    from krylov_spdes_tpu.solvers.initcg import initpcg
+    from krylov_spdes_tpu.solvers.defcg import eigdefpcg
+
+    mesh, maps, asm = build_fem(args)
+    rng = np.random.default_rng(args.seed)
+    A, b0 = do_isotropic_elliptic_assembly(
+        asm, np.exp(rng.normal(size=mesh.nnode)))
+    M0 = amg_precond(A)
+
+    iters = {m: np.zeros(args.nreals, dtype=np.int64)
+             for m in ("pcg", "initpcg", "eigdefpcg")}
+    W = None
+    for s in range(args.nreals):
+        b = jnp.asarray(rng.normal(size=maps.n_free))
+        iters["pcg"][s] = int(pcg(A, b, M=M0).it)
+        if W is None:
+            r = eigpcg(A, b, M=M0, nvec=args.nvec, spdim=args.spdim)
+            iters["initpcg"][s] = iters["eigdefpcg"][s] = int(r.it)
+            W = r.W
+        else:
+            iters["initpcg"][s] = int(initpcg(A, b, W=W, M=M0).it)
+            r = eigdefpcg(A, b, M=M0, W=W, spdim=args.spdim)
+            iters["eigdefpcg"][s] = int(r.it)
+            W = r.W
+        print(f"s={s}: pcg={iters['pcg'][s]} initpcg={iters['initpcg'][s]} "
+              f"eigdefpcg={iters['eigdefpcg'][s]}", flush=True)
+    for k, v in iters.items():
+        print(f"{k}: mean {v.mean():.1f}")
+    save_npz(args, "ex11.iters", **iters)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Example12: Voronoi quantization of the stochastic space + centroidal
+preconditioners.
+
+Mirrors /root/reference/Example12_Quantization_Functions.jl:29-167: k-means
+over N(0,I) samples under L2/L2-10%/cdf metrics, one preconditioner per
+centroid, solves with the nearest-centroid preconditioner.
+"""
+
+from common import base_parser, init_backend, build_fem, build_kl, save_npz
+
+import numpy as np
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--P", type=int, default=8, help="number of centroids")
+    p.add_argument("--nsamples", type=int, default=2000)
+    p.add_argument("--distance", default="L2-full",
+                   choices=["L2-full", "L2-10%", "cdf"])
+    args = p.parse_args()
+    jax = init_backend(args)
+    import jax.numpy as jnp
+    from krylov_spdes_tpu.fem.assembly import do_isotropic_elliptic_assembly
+    from krylov_spdes_tpu.kl.synthesis import set_field
+    from krylov_spdes_tpu.quantization.quantizers import get_quantizer
+    from krylov_spdes_tpu.quantization.precond_bank import (
+        build_centroidal_preconds, select_nearest)
+    from krylov_spdes_tpu.precond.cholesky import get_cholesky32
+    from krylov_spdes_tpu.samplers.samplers import prepare_mc_sampler, draw
+    from krylov_spdes_tpu.solvers.cg import pcg
+
+    mesh, maps, asm = build_fem(args)
+    cov, M, lam, psi = build_kl(args, mesh)
+
+    X, centroids, assignments, costs = get_quantizer(
+        args.nsamples, args.P, lam, distance=args.distance)
+    print(f"quantizer: P={args.P} mean cost {float(np.mean(costs)):.3f}")
+
+    def assemble(coeff):
+        A, _ = do_isotropic_elliptic_assembly(asm, coeff)
+        return A
+
+    bank = build_centroidal_preconds(np.asarray(centroids), lam, psi,
+                                     assemble, get_cholesky32)
+    smp = prepare_mc_sampler(lam, psi, key=args.seed)
+    iters = np.zeros(args.nreals, dtype=np.int64)
+    dists = np.zeros(args.nreals)
+    assign = np.zeros(args.nreals, dtype=np.int64)
+    for s in range(args.nreals):
+        smp, _ = draw(smp)
+        A, b = do_isotropic_elliptic_assembly(asm, jnp.exp(smp.g))
+        Mp, pidx, d = select_nearest(bank, np.asarray(smp.xi),
+                                     np.asarray(centroids), lam)
+        r = pcg(A, b, M=Mp)
+        iters[s], dists[s], assign[s] = int(r.it), d, pidx
+        print(f"s={s}: centroid {pidx} dist {d:.2f} it {iters[s]}",
+              flush=True)
+    print(f"mean iters {iters.mean():.1f}")
+    save_npz(args, f"P{args.P}.ex12", iters=iters, dists=dists,
+             assignments=assign)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,50 @@
+"""Example13: CLVQ vs k-means distortion/timing study.
+
+Mirrors /root/reference/Example13_CLVQ_Functions.jl:71-159.
+"""
+
+from common import base_parser, init_backend, save_npz
+
+import time
+import numpy as np
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--ns", type=int, default=20000)
+    p.add_argument("--Ps", default="4,16,64")
+    p.add_argument("--nKLs", default="4,16")
+    args = p.parse_args()
+    jax = init_backend(args)
+    import jax.numpy as jnp
+    from krylov_spdes_tpu.quantization.quantizers import (
+        kmeans, clvq, get_gain_sequence, distortion)
+
+    lam_full = np.exp(-0.4 * np.arange(64))
+    results = {}
+    for P in map(int, args.Ps.split(",")):
+        for nKL in map(int, args.nKLs.split(",")):
+            key = jax.random.PRNGKey(987_654_321)
+            lam = jnp.asarray(lam_full[:nKL])
+            X = jax.random.normal(key, (args.ns, nKL)) * jnp.sqrt(lam)
+            t0 = time.time()
+            Ck, _ = kmeans(X, P, iters=50)
+            jax.block_until_ready(Ck)
+            dt_km = time.time() - t0
+            w_km = float(distortion(X, Ck))
+            gains = get_gain_sequence(1.0, 0.1, 0.2, 0.51, args.ns)
+            t0 = time.time()
+            Cc, _ = clvq(X, X[:P], gains)
+            jax.block_until_ready(Cc)
+            dt_cl = time.time() - t0
+            w_cl = float(distortion(X, Cc))
+            print(f"P={P:3d} nKL={nKL:3d}: kmeans w2={w_km:.4f} "
+                  f"({dt_km:.2f}s)  clvq w2={w_cl:.4f} ({dt_cl:.2f}s)",
+                  flush=True)
+            results[f"P{P}_nKL{nKL}"] = np.asarray(
+                [w_km, dt_km, w_cl, dt_cl])
+    save_npz(args, "ex13.clvq", **results)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Example14: quantization + Shepard interpolation of preconditioners.
+
+Mirrors /root/reference/Example14_QuantizationAndShepardLocalInterpolation_
+Functions.jl:18-327: inverse-distance-weighted combination of centroidal
+preconditioners vs nearest-centroid selection.
+"""
+
+from common import base_parser, init_backend, build_fem, build_kl, save_npz
+
+import numpy as np
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--P", type=int, default=6)
+    args = p.parse_args()
+    jax = init_backend(args)
+    import jax.numpy as jnp
+    from krylov_spdes_tpu.fem.assembly import do_isotropic_elliptic_assembly
+    from krylov_spdes_tpu.quantization.quantizers import get_quantizer
+    from krylov_spdes_tpu.quantization.precond_bank import (
+        build_centroidal_preconds, select_nearest,
+        shepard_interpolating_precond)
+    from krylov_spdes_tpu.precond.cholesky import get_cholesky32
+    from krylov_spdes_tpu.samplers.samplers import prepare_mc_sampler, draw
+    from krylov_spdes_tpu.solvers.cg import pcg
+
+    mesh, maps, asm = build_fem(args)
+    cov, M, lam, psi = build_kl(args, mesh)
+    X, centroids, _, _ = get_quantizer(1500, args.P, lam)
+
+    def assemble(coeff):
+        A, _ = do_isotropic_elliptic_assembly(asm, coeff)
+        return A
+
+    bank = build_centroidal_preconds(np.asarray(centroids), lam, psi,
+                                     assemble, get_cholesky32)
+    smp = prepare_mc_sampler(lam, psi, key=args.seed)
+    it_near = np.zeros(args.nreals, dtype=np.int64)
+    it_shep = np.zeros(args.nreals, dtype=np.int64)
+    for s in range(args.nreals):
+        smp, _ = draw(smp)
+        A, b = do_isotropic_elliptic_assembly(asm, jnp.exp(smp.g))
+        Mn, _, _ = select_nearest(bank, np.asarray(smp.xi),
+                                  np.asarray(centroids), lam)
+        Ms = shepard_interpolating_precond(np.asarray(smp.xi),
+                                           np.asarray(centroids), bank, lam)
+        it_near[s] = int(pcg(A, b, M=Mn).it)
+        it_shep[s] = int(pcg(A, b, M=Ms).it)
+        print(f"s={s}: nearest={it_near[s]} shepard={it_shep[s]}", flush=True)
+    print(f"nearest mean {it_near.mean():.1f}  shepard mean "
+          f"{it_shep.mean():.1f}")
+    save_npz(args, f"P{args.P}.ex14", nearest=it_near, shepard=it_shep)
+
+
+if __name__ == "__main__":
+    main()

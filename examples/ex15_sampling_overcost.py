@@ -1,0 +1,65 @@
+"""Example15: sampling overcost — MC vs MCMC vs hybrid chains.
+
+Mirrors /root/reference/Example15_SamplingOvercost_Functions.jl:56-195: QoI is
+u at the vertex closest to a probe point; compares the proposal counts and
+solve costs per effective sample across sampler types.
+"""
+
+from common import base_parser, init_backend, build_fem, build_kl, save_npz
+
+import numpy as np
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--probe", default="0.5,0.5")
+    p.add_argument("--m-mcmc", type=int, default=10)
+    args = p.parse_args()
+    jax = init_backend(args)
+    import jax.numpy as jnp
+    from krylov_spdes_tpu.fem.assembly import do_isotropic_elliptic_assembly
+    from krylov_spdes_tpu.precond.amg import amg_precond
+    from krylov_spdes_tpu.samplers.samplers import (
+        prepare_mc_sampler, prepare_mcmc_sampler, prepare_hybrid_sampler,
+        draw)
+    from krylov_spdes_tpu.solvers.cg import pcg
+
+    mesh, maps, asm = build_fem(args)
+    cov, M, lam, psi = build_kl(args, mesh)
+    px, py = map(float, args.probe.split(","))
+    probe = np.argmin((mesh.points[:, 0] - px) ** 2
+                      + (mesh.points[:, 1] - py) ** 2)
+    A0, _ = do_isotropic_elliptic_assembly(asm, np.ones(mesh.nnode))
+    M0 = amg_precond(A0)
+
+    samplers = {
+        "mc": prepare_mc_sampler(lam, psi, key=args.seed),
+        "mcmc": prepare_mcmc_sampler(lam, psi, key=args.seed + 1),
+        "hybrid": prepare_hybrid_sampler(lam, psi,
+                                         min(args.m_mcmc, len(lam)),
+                                         key=args.seed + 2),
+    }
+    out = {}
+    for name, smp in samplers.items():
+        qoi = np.zeros(args.nreals)
+        props = np.zeros(args.nreals, dtype=np.int64)
+        its = np.zeros(args.nreals, dtype=np.int64)
+        for s in range(args.nreals):
+            smp, cnt = draw(smp)
+            A, b = do_isotropic_elliptic_assembly(asm, jnp.exp(smp.g))
+            r = pcg(A, b, M=M0)
+            u = np.zeros(mesh.nnode)
+            u[maps.free_l2g] = np.asarray(r.x)
+            qoi[s] = u[probe]
+            props[s] = int(cnt)
+            its[s] = int(r.it)
+        print(f"{name}: proposals/sample {props.mean():.2f}, "
+              f"iters/sample {its.mean():.1f}, QoI mean {qoi.mean():.4e}")
+        out[f"{name}_qoi"] = qoi
+        out[f"{name}_proposals"] = props
+        out[f"{name}_iters"] = its
+    save_npz(args, "ex15.overcost", **out)
+
+
+if __name__ == "__main__":
+    main()

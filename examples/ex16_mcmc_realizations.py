@@ -1,0 +1,35 @@
+"""Example16: dump MCMC field realizations at several chain lengths.
+
+Mirrors /root/reference/Example16_McmcRealizations.jl:63-88.
+"""
+
+from common import base_parser, init_backend, build_fem, build_kl, save_npz
+
+import numpy as np
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--lengths", default="0,10,100,1000")
+    args = p.parse_args()
+    init_backend(args)
+    from krylov_spdes_tpu.samplers.samplers import (prepare_mcmc_sampler,
+                                                    draw)
+
+    mesh, maps, asm = build_fem(args)
+    cov, M, lam, psi = build_kl(args, mesh)
+    lengths = sorted(map(int, args.lengths.split(",")))
+    smp = prepare_mcmc_sampler(lam, psi, key=args.seed)
+    out = {}
+    step = 0
+    for target in lengths:
+        while step < target:
+            smp, _ = draw(smp)
+            step += 1
+        out[f"g_{target}"] = np.asarray(smp.g)
+        print(f"recorded realization at chain length {target}")
+    save_npz(args, "ex16.realizations", **out)
+
+
+if __name__ == "__main__":
+    main()

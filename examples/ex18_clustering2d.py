@@ -1,0 +1,35 @@
+"""Example18: 2D clustering visualization study.
+
+Mirrors /root/reference/Example18_Clustering2D*.jl: k-means in a 2D latent
+subspace; writes samples, centroids and assignments for plotting (the
+reference renders convex hulls with matplotlib).
+"""
+
+from common import base_parser, init_backend, save_npz
+
+import numpy as np
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--P", type=int, default=6)
+    p.add_argument("--ns", type=int, default=3000)
+    args = p.parse_args()
+    jax = init_backend(args)
+    import jax.numpy as jnp
+    from krylov_spdes_tpu.quantization.quantizers import kmeans, distortion
+
+    lam2 = np.array([1.0, 0.4])
+    key = jax.random.PRNGKey(args.seed)
+    X = jax.random.normal(key, (args.ns, 2)) * jnp.sqrt(jnp.asarray(lam2))
+    C, _ = kmeans(X, args.P, iters=100)
+    d2 = (jnp.sum(X ** 2, 1)[:, None] - 2 * X @ C.T
+          + jnp.sum(C ** 2, 1)[None, :])
+    a = np.asarray(jnp.argmin(d2, axis=1))
+    print(f"P={args.P}: distortion {float(distortion(X, C)):.4f}")
+    save_npz(args, f"P{args.P}.ex18", X=np.asarray(X), centroids=np.asarray(C),
+             assignments=a)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Example19: truncated-KL preconditioners — precond built from the first k
+modes, k = 1..nKL.
+
+Mirrors /root/reference/Example19_TruncatedPreconditioners.jl:70-114.
+"""
+
+from common import base_parser, init_backend, build_fem, build_kl, save_npz
+
+import numpy as np
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--ks", default="0,1,2,4,8,16")
+    args = p.parse_args()
+    init_backend(args)
+    import jax.numpy as jnp
+    from krylov_spdes_tpu.fem.assembly import do_isotropic_elliptic_assembly
+    from krylov_spdes_tpu.quantization.precond_bank import truncated_kl_precond
+    from krylov_spdes_tpu.precond.cholesky import get_cholesky32
+    from krylov_spdes_tpu.precond.amg import amg_precond
+    from krylov_spdes_tpu.samplers.samplers import prepare_mc_sampler, draw
+    from krylov_spdes_tpu.solvers.cg import pcg
+
+    mesh, maps, asm = build_fem(args)
+    cov, M, lam, psi = build_kl(args, mesh)
+    smp = prepare_mc_sampler(lam, psi, key=args.seed)
+    smp, _ = draw(smp)
+    A, b = do_isotropic_elliptic_assembly(asm, jnp.exp(smp.g))
+
+    def assemble(coeff):
+        Ak, _ = do_isotropic_elliptic_assembly(asm, coeff)
+        return Ak
+
+    ks = [k for k in map(int, args.ks.split(",")) if k <= len(lam)]
+    its_chol, its_amg = [], []
+    for k in ks:
+        Mc = truncated_kl_precond(lam, psi, k, assemble, get_cholesky32,
+                                  xi=np.asarray(smp.xi))
+        Ma = truncated_kl_precond(lam, psi, k, assemble, amg_precond,
+                                  xi=np.asarray(smp.xi))
+        ic = int(pcg(A, b, M=Mc).it)
+        ia = int(pcg(A, b, M=Ma).it)
+        its_chol.append(ic)
+        its_amg.append(ia)
+        print(f"k={k:3d}: chol {ic}  amg {ia}", flush=True)
+    save_npz(args, "ex19.truncated", ks=np.asarray(ks),
+             chol=np.asarray(its_chol), amg=np.asarray(its_amg))
+
+
+if __name__ == "__main__":
+    main()

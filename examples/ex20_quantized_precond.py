@@ -1,0 +1,67 @@
+"""Example20: quantized preconditioners at scale.
+
+Mirrors /root/reference/Example20_QuantizedPreconditioner.jl:26-53 and its
+_Functions.jl:56-147: P ∈ {kmeans | cdf-kmeans | deterministic ±s grid}
+codebooks over a truncated latent space; many realizations solved with the
+nearest quantized preconditioner (reference uses Threads; here the bank is
+device-resident and realizations stream through one jit).
+"""
+
+from common import base_parser, init_backend, build_fem, build_kl, save_npz
+
+import numpy as np
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--P", type=int, default=16)
+    p.add_argument("--nKL-trunc", type=int, default=4)
+    p.add_argument("--codebook", default="kmeans",
+                   choices=["kmeans", "cdf", "grid"])
+    p.add_argument("--grid-s", type=float, default=1.0)
+    args = p.parse_args()
+    init_backend(args)
+    import jax.numpy as jnp
+    from krylov_spdes_tpu.fem.assembly import do_isotropic_elliptic_assembly
+    from krylov_spdes_tpu.quantization.quantizers import (
+        get_quantizer, deterministic_grid)
+    from krylov_spdes_tpu.quantization.precond_bank import (
+        build_centroidal_preconds, select_nearest)
+    from krylov_spdes_tpu.precond.cholesky import get_cholesky32
+    from krylov_spdes_tpu.samplers.samplers import prepare_mc_sampler, draw
+    from krylov_spdes_tpu.solvers.cg import pcg
+
+    mesh, maps, asm = build_fem(args)
+    cov, M, lam, psi = build_kl(args, mesh)
+    k = min(args.nKL_trunc, len(lam))
+
+    if args.codebook == "grid":
+        _, xi_cb = deterministic_grid(k, args.grid_s, lam)
+    else:
+        dist = "cdf" if args.codebook == "cdf" else "L2-full"
+        _, cb, _, _ = get_quantizer(4000, args.P, lam[:k], distance=dist)
+        xi_cb = np.asarray(cb)
+    # pad truncated codebook back to full latent dimension (zeros beyond k)
+    full_cb = np.zeros((xi_cb.shape[0], len(lam)))
+    full_cb[:, :k] = xi_cb
+    print(f"codebook: {full_cb.shape[0]} entries over {k} modes")
+
+    def assemble(coeff):
+        A, _ = do_isotropic_elliptic_assembly(asm, coeff)
+        return A
+
+    bank = build_centroidal_preconds(full_cb, lam, psi, assemble,
+                                     get_cholesky32)
+    smp = prepare_mc_sampler(lam, psi, key=args.seed)
+    iters = np.zeros(args.nreals, dtype=np.int64)
+    for s in range(args.nreals):
+        smp, _ = draw(smp)
+        A, b = do_isotropic_elliptic_assembly(asm, jnp.exp(smp.g))
+        Mp, pidx, d = select_nearest(bank, np.asarray(smp.xi), full_cb, lam)
+        iters[s] = int(pcg(A, b, M=Mp).it)
+    print(f"mean iters {iters.mean():.1f} over {args.nreals} realizations")
+    save_npz(args, f"P{full_cb.shape[0]}.ex20", iters=iters)
+
+
+if __name__ == "__main__":
+    main()

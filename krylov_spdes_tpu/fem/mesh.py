@@ -67,6 +67,8 @@ def get_mesh(tentative_nnode: int, jitter: float = 0.0, seed: int = 0) -> TriMes
     approximate. `jitter` in [0, 0.5) perturbs interior nodes by that fraction
     of the grid spacing to exercise unstructured-mesh code paths.
     """
+    if tentative_nnode < 1:
+        raise ValueError(f"tentative_nnode must be >= 1, got {tentative_nnode}")
     m = max(1, int(round(np.sqrt(tentative_nnode) - 1)))
     n1 = m + 1
     xs = np.linspace(0.0, 1.0, n1)

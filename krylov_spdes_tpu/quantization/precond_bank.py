@@ -1,0 +1,99 @@
+"""Quantized / interpolating / truncated preconditioner strategies.
+
+Redesign of the reference's preconditioner-selection machinery:
+
+- Centroidal bank (Example12_Quantization_Functions.jl:86-167,
+  Example20..._Functions.jl:96-147): one constant preconditioner per Voronoi
+  centroid; each sampled system is solved with the nearest centroid's
+  preconditioner.
+- Shepard inverse-distance interpolation (Example14..._Functions.jl:18-327):
+  M⁻¹r = Σ_i c_i Π_i⁻¹ r with c_i ∝ 1/d_i², d_i the (Λ-weighted or CDF)
+  distance from the sample to interpolation point i.
+- Truncated-KL preconditioners (Example19_TruncatedPreconditioners.jl:70-114):
+  the preconditioner is built from the field synthesized with only the first
+  k KL modes.
+
+The bank holds a stacked pytree of same-structure preconditioners so nearest-
+centroid selection is a `lax.switch`-free gather (tree-indexed), keeping chain
+loops jittable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.tree_util import Partial
+
+from ..kl.synthesis import set_field
+from ..samplers.samplers import synthesize
+
+
+def build_centroidal_preconds(centroids_xi, lam, psi, assemble_fn,
+                              precond_factory):
+    """One preconditioner per centroid (get_centroidal_preconds analogue).
+
+    assemble_fn(coeff_nodes) -> SparseOp (or blocks); precond_factory(A) ->
+    pytree callable. Returns the list of preconditioners."""
+    lam = jnp.asarray(lam)
+    psi = jnp.asarray(psi)
+    bank = []
+    for p in range(centroids_xi.shape[0]):
+        g = set_field(lam, psi, jnp.asarray(centroids_xi[p]))
+        A = assemble_fn(jnp.exp(g))
+        bank.append(precond_factory(A))
+    return bank
+
+
+def select_nearest(bank, xi, centroids_xi, lam):
+    """Nearest-centroid preconditioner (test_solver_with_centroidal_preconds,
+    Example12:146-160). Host-side selection (setup-scale decision)."""
+    w = np.sqrt(np.asarray(lam))
+    d2 = np.sum(((np.asarray(centroids_xi) - np.asarray(xi)[None, :])
+                 * w[None, :]) ** 2, axis=1)
+    p = int(np.argmin(d2))
+    return bank[p], p, float(np.sqrt(d2[p]))
+
+
+def _shepard_apply(preconds, coeffs, r):
+    out = coeffs[0] * preconds[0](r)
+    for c, M in zip(coeffs[1:], preconds[1:]):
+        out = out + c * M(r)
+    return out
+
+
+def shepard_interpolating_precond(xi, interpolators_xi, bank, lam,
+                                  distance: str = "L2-full"):
+    """Inverse-distance-squared Shepard combination
+    (shepard_interpolating_precond, Example14..._Functions.jl:174-210).
+    NOTE the reference weighs Δξ by Λ (not √Λ) here — matched exactly."""
+    xi = np.asarray(xi)
+    pts = np.asarray(interpolators_xi)
+    lam = np.asarray(lam)
+    if distance == "L2-full":
+        d = np.sqrt(np.sum(((pts - xi[None, :]) * lam[None, :]) ** 2, axis=1))
+    elif distance in ("cdf", "cdf-full"):
+        from scipy.stats import norm
+        d = np.sqrt(np.sum(norm.cdf(pts - xi[None, :]) ** 2, axis=1))
+    else:
+        raise ValueError(distance)
+    d = np.maximum(d, 1e-300)
+    w = 1.0 / d ** 2
+    coeffs = w / w.sum()
+    dt = None
+    coeffs = [jnp.asarray(c) for c in coeffs]
+    return Partial(_shepard_apply, tuple(bank), tuple(coeffs))
+
+
+def truncated_kl_precond(lam, psi, k: int, assemble_fn, precond_factory,
+                         xi=None):
+    """Preconditioner from the first k KL modes (Example19:70-114): the field
+    is synthesized with modes [0, k) (ξ tail implicitly zero — the "median"
+    beyond mode k)."""
+    lam = jnp.asarray(lam)
+    psi = jnp.asarray(psi)
+    if xi is None:
+        xi = jnp.zeros((lam.shape[0],), psi.dtype)
+    xi_t = jnp.asarray(xi).at[k:].set(0.0)
+    g = set_field(lam, psi, xi_t)
+    return precond_factory(assemble_fn(jnp.exp(g)))

@@ -1,0 +1,135 @@
+"""Voronoi quantization of the stochastic (KL-latent) space.
+
+Redesign of the reference's quantization toolkit (Examples 12/13/20,
+/root/reference/Example12_Quantization_Functions.jl:29-60,
+Example13_CLVQ_Functions.jl:23-92, Example20..._Functions.jl:56-93):
+
+- k-means (Lloyd) on latent samples under the reference's three metrics:
+  "L2-full" (√Λ-weighted), "L2-10%" (leading modes covering 10% of the
+  eigenvalue mass), "cdf" (Gaussian-CDF transform). Distances are one
+  (ns, P) matmul per Lloyd sweep — MXU work, jitted end to end.
+- CLVQ (competitive-learning VQ) as a `lax.scan` over the sample stream with
+  the gain sequence γ_t = γ0·α/(t^c + β) (Example13:45-51).
+- deterministic ±s grid codebook (Example20:56-80).
+- distortion = mean squared distance to the nearest centroid.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.stats import norm as jnorm
+
+
+def _transform(X, lam, distance):
+    """Map latent N(0,1) samples into the quantization metric space.
+    X: (ns, m). Returns (Xt, inv) where inv maps centroids back to ξ-space."""
+    lam = jnp.asarray(lam)
+    if distance == "L2-full":
+        s = jnp.sqrt(lam)
+        return X * s, lambda C: C / s
+    if distance == "L2-10%":
+        csum = jnp.cumsum(lam) / jnp.sum(lam)
+        k = int(np.searchsorted(np.asarray(csum), 0.1) + 1)
+        s = jnp.sqrt(lam[:k])
+        return X[:, :k] * s, lambda C: C / s
+    if distance in ("cdf", "cdf-full"):
+        return jnorm.cdf(X), lambda C: jnorm.ppf(jnp.clip(C, 1e-12, 1 - 1e-12))
+    raise ValueError(f"unknown distance {distance!r}")
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _lloyd(Xt, C0, iters):
+    def step(C, _):
+        d2 = (jnp.sum(Xt ** 2, 1)[:, None] - 2 * Xt @ C.T
+              + jnp.sum(C ** 2, 1)[None, :])
+        a = jnp.argmin(d2, axis=1)
+        one = jax.nn.one_hot(a, C.shape[0], dtype=Xt.dtype)   # (ns, P)
+        counts = one.sum(0)
+        sums = one.T @ Xt
+        C_new = jnp.where(counts[:, None] > 0, sums / counts[:, None], C)
+        return C_new, jnp.min(d2, axis=1).mean()
+    C, hist = jax.lax.scan(step, C0, None, length=iters)
+    return C, hist
+
+
+def kmeans(X, P: int, iters: int = 50, key=None):
+    """Lloyd k-means on pre-transformed samples X (ns, m)."""
+    key = jax.random.PRNGKey(0) if key is None else key
+    idx = jax.random.choice(key, X.shape[0], (P,), replace=False)
+    C, hist = _lloyd(X, X[idx], iters)
+    return C, hist[-1]
+
+
+def get_quantizer(n: int, P: int, lam, distance: str = "L2-full",
+                  key=None, iters: int = 50):
+    """Sample n latent points, k-means them under `distance`
+    (get_quantizer, Example12:29-60). Returns (X (n,m) latent samples,
+    centroids_latent (P,m'), assignments, costs)."""
+    key = jax.random.PRNGKey(987_654_321) if key is None else key
+    key, k1, k2 = jax.random.split(key, 3)
+    m = len(lam)
+    X = jax.random.normal(k1, (n, m))
+    Xt, inv = _transform(X, lam, distance)
+    C, _ = kmeans(Xt, P, iters=iters, key=k2)
+    d2 = (jnp.sum(Xt ** 2, 1)[:, None] - 2 * Xt @ C.T
+          + jnp.sum(C ** 2, 1)[None, :])
+    a = jnp.argmin(d2, axis=1)
+    costs = jnp.min(d2, axis=1)
+    return X, inv(C), a, costs
+
+
+def get_gain_sequence(g0: float, alpha: float, beta: float, c: float,
+                      ns: int):
+    """γ_t = γ0·α/(t^c + β) (Example13_CLVQ_Functions.jl:45-51)."""
+    t = jnp.arange(1, ns + 1, dtype=jnp.float64 if jax.config.read(
+        "jax_enable_x64") else jnp.float32)
+    return g0 * alpha / (t ** c + beta)
+
+
+@jax.jit
+def clvq(X, C0, gains):
+    """Competitive-learning VQ: stream samples, pull the winning centroid
+    (Example13:71-92). X: (ns, m), C0: (P, m), gains: (ns,)."""
+    def step(C, inp):
+        x, g = inp
+        d2 = jnp.sum((C - x[None, :]) ** 2, axis=1)
+        p = jnp.argmin(d2)
+        C = C.at[p].add(-g * (C[p] - x))
+        return C, d2[p]
+    C, costs = jax.lax.scan(step, C0, (X, gains))
+    return C, costs
+
+
+@jax.jit
+def distortion(X, C):
+    """Mean squared distance to nearest centroid (Example13:54-69)."""
+    d2 = (jnp.sum(X ** 2, 1)[:, None] - 2 * X @ C.T
+          + jnp.sum(C ** 2, 1)[None, :])
+    return jnp.mean(jnp.min(d2, axis=1))
+
+
+def deterministic_grid(nKL: int, s: float, lam):
+    """±s hypercube codebook + center (get_deterministic_grid,
+    Example20:56-80). Returns (eta (P, nKL) √Λ-scaled, xi (P, nKL))."""
+    P = 2 ** nKL + 1
+    xi = np.zeros((P, nKL))
+    for p in range(1, P):
+        bits = np.array([(p - 1) >> (nKL - 1 - k) & 1 for k in range(nKL)])
+        xi[p] = np.where(bits == 0, -s, s)
+    eta = np.sqrt(np.asarray(lam)[:nKL]) * xi
+    return eta, xi
+
+
+@jax.jit
+def nearest_centroid(xi, centroids_xi, lam):
+    """√Λ-weighted nearest centroid of a latent point
+    (Example12:146-153). centroids_xi: (P, m) in ξ-space; xi: (m,)."""
+    w = jnp.sqrt(jnp.asarray(lam))
+    d = (centroids_xi - xi[None, :]) * w[None, :]
+    d2 = jnp.sum(d ** 2, axis=1)
+    p = jnp.argmin(d2)
+    return p, jnp.sqrt(d2[p])

@@ -1,0 +1,77 @@
+"""Structured phase timing and throughput metrics.
+
+Upgrade of the reference's ad-hoc `@time`/`println` instrumentation
+(SURVEY.md §5: "phase timers + jax.profiler traces + per-kernel nnz/s metrics
+are a required upgrade"). Also carries the reference's print helpers
+(Utils/PrintUtils.jl:1-9).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import sys
+import time
+
+
+def printlnln(*args):
+    """println + blank line after (PrintUtils.jl:1-4)."""
+    print(*args)
+    print()
+    sys.stdout.flush()
+
+
+def space_println(*args):
+    """blank line before + println (PrintUtils.jl:6-9)."""
+    print()
+    print(*args)
+    sys.stdout.flush()
+
+
+class PhaseMetrics:
+    """Collects named phase timings + derived throughputs; one-line JSON dump."""
+
+    def __init__(self):
+        self.phases = {}
+        self.counters = {}
+
+    @contextlib.contextmanager
+    def phase(self, name: str, nnz: int | None = None, verbose: bool = True):
+        import jax
+        t0 = time.time()
+        yield
+        # ensure device work launched in the phase is included
+        try:
+            jax.effects_barrier()
+        except Exception:
+            pass
+        dt = time.time() - t0
+        self.phases[name] = self.phases.get(name, 0.0) + dt
+        if nnz is not None:
+            self.counters[f"{name}_nnz_per_s"] = nnz / dt
+        if verbose:
+            extra = f"  ({nnz / dt / 1e9:.2f} Gnnz/s)" if nnz else ""
+            print(f"[{name}] {dt:.3f}s{extra}", flush=True)
+
+    def add(self, name: str, value) -> None:
+        self.counters[name] = value
+
+    def json(self) -> str:
+        return json.dumps({**{f"t_{k}": round(v, 4)
+                              for k, v in self.phases.items()},
+                           **{k: (round(v, 4) if isinstance(v, float) else v)
+                              for k, v in self.counters.items()}})
+
+    def dump(self) -> None:
+        print(self.json(), flush=True)
+
+
+@contextlib.contextmanager
+def profiler_trace(logdir: str):
+    """jax.profiler wrapper for TPU traces."""
+    import jax
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -1,0 +1,76 @@
+"""System/deflation persistence and chain checkpointing.
+
+Redesign of /root/reference/Utils/DeflationUtils.jl:12-108 (JLD dumps of
+(A, b, W) for troubleshooting failed deflated solves) plus the artifact-level
+checkpoint/resume convention of SURVEY.md §5: everything is plain NPZ keyed by
+a canonical root filename, and chains checkpoint (sampler state, W) so a
+failed chain RESUMES instead of the reference's discard-and-retry
+(Example09..._Functions.jl:470-506).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+
+def save_system(path: str, A, b) -> None:
+    """Dump a sparse system as COO triplets + rhs (save_system analogue,
+    DeflationUtils.jl:12-43)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, rows=np.asarray(A.rows), cols=np.asarray(A.indices),
+             vals=np.asarray(A.data), b=np.asarray(b),
+             shape=np.asarray(A.shape))
+
+
+def load_system(path: str):
+    """Returns (scipy csr_matrix, b)."""
+    from scipy.sparse import csr_matrix
+    d = np.load(path)
+    A = csr_matrix((d["vals"], (d["rows"], d["cols"])),
+                   shape=tuple(d["shape"]))
+    return A, d["b"]
+
+
+def save_deflated_system(path: str, A, b, W) -> None:
+    """(A, b, W) failure fixture (save_deflated_system,
+    DeflationUtils.jl:46-78)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, rows=np.asarray(A.rows), cols=np.asarray(A.indices),
+             vals=np.asarray(A.data), b=np.asarray(b), W=np.asarray(W),
+             shape=np.asarray(A.shape))
+
+
+def load_deflated_system(path: str):
+    from scipy.sparse import csr_matrix
+    d = np.load(path)
+    A = csr_matrix((d["vals"], (d["rows"], d["cols"])),
+                   shape=tuple(d["shape"]))
+    return A, d["b"], d["W"]
+
+
+def save_chain_checkpoint(path: str, sampler_state, W, sample_idx: int,
+                          iters) -> None:
+    """Checkpoint an MCMC chain: latent state + PRNG key + deflation basis.
+    Upgrade over the reference's chain discard-and-retry policy."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path,
+             xi=np.asarray(sampler_state.xi),
+             g=np.asarray(sampler_state.g),
+             key=np.asarray(sampler_state.key),
+             W=np.asarray(W),
+             sample_idx=sample_idx,
+             iters=np.asarray(iters))
+
+
+def load_chain_checkpoint(path: str, template_state):
+    """Restore into a SamplerState with the same static config."""
+    import jax.numpy as jnp
+    d = np.load(path)
+    state = dataclasses.replace(
+        template_state,
+        xi=jnp.asarray(d["xi"]), g=jnp.asarray(d["g"]),
+        key=jnp.asarray(d["key"]))
+    return state, d["W"], int(d["sample_idx"]), d["iters"]

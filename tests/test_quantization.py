@@ -1,0 +1,111 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from krylov_spdes_tpu.quantization.quantizers import (
+    get_quantizer, kmeans, clvq, get_gain_sequence, distortion,
+    deterministic_grid, nearest_centroid, _transform)
+from krylov_spdes_tpu.quantization.precond_bank import (
+    build_centroidal_preconds, select_nearest, shepard_interpolating_precond,
+    truncated_kl_precond)
+
+
+def _lam(m=8):
+    return np.exp(-0.5 * np.arange(m))
+
+
+def test_kmeans_reduces_distortion():
+    key = jax.random.PRNGKey(0)
+    X = jax.random.normal(key, (2000, 4))
+    C1, _ = kmeans(X, 4, iters=1)
+    C50, _ = kmeans(X, 4, iters=50)
+    assert float(distortion(X, C50)) < float(distortion(X, C1)) + 1e-9
+    # more centroids -> lower distortion
+    C2, _ = kmeans(X, 32, iters=50)
+    assert float(distortion(X, C2)) < float(distortion(X, C50))
+
+
+@pytest.mark.parametrize("dist", ["L2-full", "L2-10%", "cdf"])
+def test_get_quantizer_metrics(dist):
+    lam = _lam()
+    X, C, a, costs = get_quantizer(1000, 10, lam, distance=dist)
+    assert np.asarray(C).ndim == 2 and np.asarray(C).shape[0] == 10
+    assert np.all(np.asarray(costs) >= 0)
+    assert len(np.unique(np.asarray(a))) > 1
+
+
+def test_clvq_comparable_to_kmeans():
+    key = jax.random.PRNGKey(1)
+    lam = _lam(4)
+    X = jax.random.normal(key, (4000, 4)) * jnp.sqrt(jnp.asarray(lam))
+    gains = get_gain_sequence(1.0, 0.1, 0.2, 0.51, 4000)
+    C0 = X[:8]
+    C, _ = clvq(X, C0, gains)
+    w_clvq = float(distortion(X, C))
+    Ck, _ = kmeans(X, 8, iters=50)
+    w_km = float(distortion(X, Ck))
+    assert w_clvq < 3.0 * w_km  # CLVQ is the cruder online method
+
+
+def test_deterministic_grid():
+    lam = _lam(3)
+    eta, xi = deterministic_grid(3, 1.0, lam)
+    assert xi.shape == (9, 3)
+    assert np.all(xi[0] == 0)
+    assert set(np.unique(xi[1:])) == {-1.0, 1.0}
+    np.testing.assert_allclose(eta, np.sqrt(lam[:3]) * xi)
+
+
+def test_quantized_precond_pipeline():
+    """Example12/20 flow: centroidal bank -> nearest selection -> solve."""
+    from krylov_spdes_tpu.fem.mesh import get_mesh
+    from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+    from krylov_spdes_tpu.fem.assembly import (
+        prepare_elliptic_assembly, do_isotropic_elliptic_assembly,
+        get_mass_matrix)
+    from krylov_spdes_tpu.kl.covariance import make_cov
+    from krylov_spdes_tpu.kl.single import solve_kl
+    from krylov_spdes_tpu.kl.synthesis import set_field
+    from krylov_spdes_tpu.precond.simple import jacobi_precond
+    from krylov_spdes_tpu.precond.cholesky import get_cholesky32
+    from krylov_spdes_tpu.solvers.cg import pcg
+
+    mesh = get_mesh(300, seed=0)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    asm = prepare_elliptic_assembly(
+        mesh.cells, mesh.points, maps,
+        lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+    cov = make_cov("sexp", 1.0, 0.5)
+    M = get_mass_matrix(mesh.cells, mesh.points)
+    lam, psi = solve_kl(mesh.cells, mesh.points, cov, 10, M, relative=0.999)
+
+    def assemble(coeff):
+        A, _ = do_isotropic_elliptic_assembly(asm, coeff)
+        return A
+
+    X, centroids, a, costs = get_quantizer(400, 5, lam)
+    bank = build_centroidal_preconds(np.asarray(centroids), lam, psi,
+                                     assemble, get_cholesky32)
+    # a sample near centroid p solves fast with bank[p]
+    rng = np.random.default_rng(0)
+    xi = np.asarray(centroids)[2] + 0.05 * rng.normal(size=lam.shape[0])
+    Mp, p, d = select_nearest(bank, xi, np.asarray(centroids), lam)
+    assert p == 2
+    g = set_field(jnp.asarray(lam), jnp.asarray(psi), jnp.asarray(xi))
+    A, b = do_isotropic_elliptic_assembly(asm, jnp.exp(g))
+    r_q = pcg(A, b, M=Mp)
+    r_j = pcg(A, b, M=jacobi_precond(A))
+    assert r_q.converged(np.asarray(b))
+    assert int(r_q.it) < int(r_j.it)
+
+    # Shepard interpolation of the bank also converges
+    Ms = shepard_interpolating_precond(xi, np.asarray(centroids), bank, lam)
+    r_s = pcg(A, b, M=Ms)
+    assert r_s.converged(np.asarray(b))
+
+    # truncated-KL preconditioner (Example19)
+    Mt = truncated_kl_precond(lam, psi, 3, assemble, get_cholesky32, xi=xi)
+    r_t = pcg(A, b, M=Mt)
+    assert r_t.converged(np.asarray(b))
+    assert int(r_t.it) <= int(r_j.it)
