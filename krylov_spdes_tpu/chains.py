@@ -1,0 +1,82 @@
+"""Fully on-device MCMC sampling chains with recycled deflated solves — the
+framework's flagship workload (SURVEY.md §3.4 "north-star").
+
+One chain step = RW-Metropolis draw -> exp(field) -> dense stencil assembly
+-> eigDef-PCG with the recycled deflation basis, compiled as ONE program with
+zero host round-trips (the reference's per-sample path crosses Julia/BLAS
+boundaries per operation). Steps are vmappable over chains and the chain axis
+shards over the device mesh (Example17_Pll's process-per-chain, TPU-native).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .fem.stencil_assembly import StencilAssemblyPlan, stencil_assemble
+from .ops.stencil import StencilOp, stencil_matvec
+from .samplers.samplers import SamplerState, _draw_mcmc, _draw_mc
+from .solvers.defcg import _eigdef_impl
+from .solvers.eigcg import _eigpcg_impl
+from .solvers.base import as_precond_op
+from .config import config
+from jax.tree_util import Partial
+
+
+def _operator(plan: StencilAssemblyPlan, coeff):
+    planes, b = stencil_assemble(plan, coeff)
+    op = StencilOp(planes=planes, dir_diag=plan.dir_diag,
+                   slot=jnp.zeros((0,), jnp.int32), H=plan.H, W=plan.W)
+    return Partial(stencil_matvec, op), b
+
+
+def make_chain_step(plan: StencilAssemblyPlan, M=None, nvec: int = 20,
+                    spdim: int = 61, maxit: int = 500,
+                    rtol: float | None = None):
+    """Returns `step(state, W) -> (state, W', iters, proposals)` — jitted,
+    vmappable. W must be a (n_full, nvec) basis (seed with `seed_chain`)."""
+    rtol = config.rtol if rtol is None else rtol
+    Mfn = as_precond_op(M)
+
+    @jax.jit
+    def step(state: SamplerState, W):
+        state, cnt = (_draw_mcmc if state.kind != "mc" else _draw_mc)(state)
+        A, b = _operator(plan, jnp.exp(state.g))
+        x0 = jnp.zeros_like(b)
+        x, it, res, Wn = _eigdef_impl(A, Mfn, b, x0, W, nvec, spdim, maxit,
+                                      rtol, True, True)
+        return state, Wn, it, cnt
+
+    return step
+
+
+def seed_chain(plan: StencilAssemblyPlan, state: SamplerState, M=None,
+               nvec: int = 20, spdim: int = 61, maxit: int = 500,
+               rtol: float | None = None):
+    """First solve of a chain with eigPCG to harvest the initial W
+    (Example09's s=1 seeding)."""
+    rtol = config.rtol if rtol is None else rtol
+    A, b = _operator(plan, jnp.exp(state.g))
+    x, it, res, W = _eigpcg_impl(A, as_precond_op(M), b, jnp.zeros_like(b),
+                                 nvec, spdim, maxit, rtol)
+    return W, it
+
+
+def run_chains(plan: StencilAssemblyPlan, states, nsmp: int, M=None,
+               nvec: int = 20, spdim: int = 61, maxit: int = 500):
+    """Batched multi-chain driver: states is a vmapped SamplerState (leading
+    chain axis). Returns (final states, iteration table (nchains, nsmp))."""
+    step = make_chain_step(plan, M=M, nvec=nvec, spdim=spdim, maxit=maxit)
+    vstep = jax.jit(jax.vmap(step))
+    vseed = jax.jit(jax.vmap(
+        lambda s: seed_chain(plan, s, M=M, nvec=nvec, spdim=spdim,
+                             maxit=maxit)))
+    W, it0 = vseed(states)
+    its = [it0]
+    for _ in range(nsmp - 1):
+        states, W, it, cnt = vstep(states, W)
+        its.append(it)
+    return states, jnp.stack(its, axis=1)

@@ -1,0 +1,71 @@
+"""ctypes bindings for the native (C++) runtime components.
+
+The reference depends on native binaries through Julia packages/CLI (METIS,
+Triangle, CHOLMOD — SURVEY.md §2.4). This module loads the framework's own
+native library (native/libkrylov_native.so), building it on first use with
+the in-image toolchain; every entry point has a NumPy fallback so the
+framework degrades gracefully without a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _native_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "native")
+
+
+def load_native():
+    """Load (building if necessary) the native library, or None."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    d = _native_dir()
+    so = os.path.join(d, "libkrylov_native.so")
+    if not os.path.exists(so):
+        try:
+            subprocess.run(["make", "-C", d], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.partition_mesh.restype = ctypes.c_int64
+        lib.partition_mesh.argtypes = [
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def native_partition(cell_neighbors: np.ndarray, centroids: np.ndarray,
+                     ndom: int, refine_passes: int = 8):
+    """Contiguous ndom-way partition via the C++ library.
+
+    Returns (epart, edge_cut) or None if the native library is unavailable.
+    """
+    lib = load_native()
+    if lib is None:
+        return None
+    nel = centroids.shape[0]
+    nbr = np.ascontiguousarray(cell_neighbors, dtype=np.int32)
+    cen = np.ascontiguousarray(centroids, dtype=np.float64)
+    epart = np.empty(nel, dtype=np.int32)
+    cut = lib.partition_mesh(nel, nbr, cen, ndom, refine_passes, epart)
+    return epart, int(cut)

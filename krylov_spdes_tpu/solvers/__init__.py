@@ -1,0 +1,14 @@
+"""Solver family exports (mirrors RecyclingKrylovSolvers' export list,
+/root/reference/RecyclingKrylovSolvers/RecyclingKrylovSolvers.jl:10-18)."""
+
+from .base import SolveResult, check_w_rank  # noqa: F401
+from .cg import cg, pcg  # noqa: F401
+from .eigcg import eigcg, eigpcg  # noqa: F401
+from .defcg import defcg, defpcg, eigdefcg, eigdefpcg  # noqa: F401
+from .initcg import initcg, initpcg  # noqa: F401
+from .lanczos import lanczos  # noqa: F401
+from .recyclers import (  # noqa: F401
+    rrdefpcg, rrpcg, hrdefpcg, hrpcg,
+    trrrdefpcg, trrrpcg, trhrdefpcg, trhrpcg,
+    lotrrrdefpcg, lotrrrpcg, lotrhrdefpcg, lotrhrpcg)
+from .recycler_state import Recycler, prepare_recycler  # noqa: F401

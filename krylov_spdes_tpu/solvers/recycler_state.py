@@ -1,0 +1,36 @@
+"""Recycler state holder.
+
+Redesign of /root/reference/RecyclingKrylovSolvers/Recyclers.jl:3-12 — the
+reference's `Recycler` is a bare W-holder stub for an intended API; here it
+also tracks basis health and the sample index, which is what chain drivers
+actually need (Example09's rank guard + retry bookkeeping).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from .base import check_w_rank
+
+
+@dataclasses.dataclass
+class Recycler:
+    W: jnp.ndarray            # (n, nvec) deflation basis
+    sample_idx: int = 0
+    healthy: bool = True
+
+    @property
+    def nvec(self) -> int:
+        return self.W.shape[1]
+
+    def update(self, W_new, frac: float = 0.9) -> "Recycler":
+        """Adopt a refreshed basis; flags degeneration like the reference's
+        rank(W) < 0.9 nvec chain guard."""
+        return Recycler(W=W_new, sample_idx=self.sample_idx + 1,
+                        healthy=check_w_rank(W_new, frac))
+
+
+def prepare_recycler(n: int, nvec: int, dtype=jnp.float64) -> Recycler:
+    return Recycler(W=jnp.zeros((n, nvec), dtype))

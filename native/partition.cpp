@@ -1,0 +1,212 @@
+// Native contiguous mesh partitioner — the framework's METIS replacement.
+//
+// The reference shells out to the `mpmetis` C binary for contiguous ndom-way
+// element partitions (/root/reference/Fem/Mesh.jl:185). This library provides
+// the same service natively: recursive inertial bisection over element
+// centroids (balanced counts), Fiduccia–Mattheyses-style boundary refinement
+// minimizing the edge cut under a balance constraint, and a contiguity repair
+// pass that merges stray connected components into their most-adjacent
+// neighbor part (the `-contig` behavior).
+//
+// C ABI (used via ctypes from krylov_spdes_tpu/fem/native.py):
+//   int partition_mesh(long nel, const int* neighbors /* nel*3, -1 = none */,
+//                      const double* centroids /* nel*2 */, int ndom,
+//                      int refine_passes, int* epart /* out, nel */);
+// Returns the final edge cut (number of cut dual-graph edges).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <queue>
+#include <vector>
+
+namespace {
+
+using std::vector;
+
+// Split idx into (left = first n_left by principal-axis order, right = rest).
+void inertial_split(const vector<int64_t>& idx, const double* cent,
+                    int64_t n_left, vector<int64_t>* left,
+                    vector<int64_t>* right) {
+  double mx = 0, my = 0;
+  for (int64_t e : idx) { mx += cent[2 * e]; my += cent[2 * e + 1]; }
+  mx /= idx.size(); my /= idx.size();
+  double sxx = 0, sxy = 0, syy = 0;
+  for (int64_t e : idx) {
+    double dx = cent[2 * e] - mx, dy = cent[2 * e + 1] - my;
+    sxx += dx * dx; sxy += dx * dy; syy += dy * dy;
+  }
+  // principal eigenvector of [[sxx, sxy], [sxy, syy]]
+  double tr = sxx + syy, det = sxx * syy - sxy * sxy;
+  double lam = tr / 2 + std::sqrt(std::max(0.0, tr * tr / 4 - det));
+  double ax, ay;
+  if (std::fabs(sxy) > 1e-30) { ax = lam - syy; ay = sxy; }
+  else if (sxx >= syy) { ax = 1; ay = 0; }
+  else { ax = 0; ay = 1; }
+  vector<std::pair<double, int64_t>> proj;
+  proj.reserve(idx.size());
+  for (int64_t e : idx)
+    proj.emplace_back(ax * (cent[2 * e] - mx) + ay * (cent[2 * e + 1] - my),
+                      e);
+  std::nth_element(proj.begin(), proj.begin() + n_left, proj.end());
+  std::sort(proj.begin(), proj.begin() + n_left,
+            [](auto& a, auto& b) { return a.first < b.first; });
+  left->clear(); right->clear();
+  for (int64_t i = 0; i < (int64_t)proj.size(); ++i)
+    (i < n_left ? left : right)->push_back(proj[i].second);
+}
+
+void rcb(const vector<int64_t>& idx, const double* cent, int nparts,
+         int first, int* epart) {
+  if (nparts == 1) {
+    for (int64_t e : idx) epart[e] = first;
+    return;
+  }
+  int nl = nparts / 2;
+  int64_t n_left =
+      (int64_t)std::llround((double)idx.size() * nl / nparts);
+  vector<int64_t> left, right;
+  inertial_split(idx, cent, n_left, &left, &right);
+  rcb(left, cent, nl, first, epart);
+  rcb(right, cent, nparts - nl, first + nl, epart);
+}
+
+// boundary refinement: greedily move boundary elements to the neighboring
+// part with the largest gain (cut reduction) while keeping balance.
+int64_t refine(int64_t nel, const int* nbr, int ndom, int passes,
+               int* epart) {
+  vector<int64_t> sizes(ndom, 0);
+  for (int64_t e = 0; e < nel; ++e) sizes[epart[e]]++;
+  int64_t target = (nel + ndom - 1) / ndom;
+  int64_t max_size = (int64_t)(target * 1.05) + 1;
+  int64_t min_size = (int64_t)(target * 0.95) - 1;
+
+  int64_t cut = 0;
+  for (int64_t e = 0; e < nel; ++e)
+    for (int j = 0; j < 3; ++j) {
+      int ne = nbr[3 * e + j];
+      if (ne >= 0 && epart[ne] != epart[e]) cut++;
+    }
+  cut /= 2;
+
+  for (int pass = 0; pass < passes; ++pass) {
+    bool moved = false;
+    for (int64_t e = 0; e < nel; ++e) {
+      int pe = epart[e];
+      if (sizes[pe] <= min_size) continue;
+      // count same-part and per-neighbor-part links
+      int same = 0;
+      int best_part = -1, best_links = 0;
+      int links[3]; int parts[3]; int np = 0;
+      for (int j = 0; j < 3; ++j) {
+        int ne = nbr[3 * e + j];
+        if (ne < 0) continue;
+        int pn = epart[ne];
+        if (pn == pe) { same++; continue; }
+        bool found = false;
+        for (int q = 0; q < np; ++q)
+          if (parts[q] == pn) { links[q]++; found = true; break; }
+        if (!found) { parts[np] = pn; links[np] = 1; np++; }
+      }
+      for (int q = 0; q < np; ++q) {
+        if (links[q] > best_links && sizes[parts[q]] < max_size)
+          { best_links = links[q]; best_part = parts[q]; }
+      }
+      if (best_part >= 0 && best_links > same) {
+        cut -= (best_links - same);
+        sizes[pe]--; sizes[best_part]++;
+        epart[e] = best_part;
+        moved = true;
+      }
+    }
+    if (!moved) break;
+  }
+  return cut;
+}
+
+// contiguity: keep each part's largest connected component; reattach strays.
+void make_contiguous(int64_t nel, const int* nbr, int ndom, int* epart) {
+  for (int iter = 0; iter < 10; ++iter) {
+    vector<int64_t> comp(nel, -1);
+    vector<int64_t> comp_size;
+    vector<int> comp_part;
+    int64_t nc = 0;
+    vector<int64_t> stack;
+    for (int64_t s = 0; s < nel; ++s) {
+      if (comp[s] >= 0) continue;
+      stack.push_back(s);
+      comp[s] = nc;
+      int64_t size = 0;
+      while (!stack.empty()) {
+        int64_t e = stack.back(); stack.pop_back();
+        size++;
+        for (int j = 0; j < 3; ++j) {
+          int ne = nbr[3 * e + j];
+          if (ne >= 0 && comp[ne] < 0 && epart[ne] == epart[e]) {
+            comp[ne] = nc;
+            stack.push_back(ne);
+          }
+        }
+      }
+      comp_size.push_back(size);
+      comp_part.push_back(epart[s]);
+      nc++;
+    }
+    // largest component per part keeps the label
+    vector<int64_t> best(ndom, -1);
+    for (int64_t c = 0; c < nc; ++c)
+      if (best[comp_part[c]] < 0 ||
+          comp_size[c] > comp_size[best[comp_part[c]]])
+        best[comp_part[c]] = c;
+    bool changed = false;
+    for (int64_t c = 0; c < nc; ++c) {
+      if (best[comp_part[c]] == c) continue;
+      // vote for the most-adjacent foreign part
+      vector<int64_t> votes(ndom, 0);
+      for (int64_t e = 0; e < nel; ++e) {
+        if (comp[e] != c) continue;
+        for (int j = 0; j < 3; ++j) {
+          int ne = nbr[3 * e + j];
+          if (ne >= 0 && comp[ne] != c) votes[epart[ne]]++;
+        }
+      }
+      int tgt = -1; int64_t bv = 0;
+      for (int p = 0; p < ndom; ++p)
+        if (votes[p] > bv) { bv = votes[p]; tgt = p; }
+      if (tgt >= 0) {
+        for (int64_t e = 0; e < nel; ++e)
+          if (comp[e] == c) epart[e] = tgt;
+        changed = true;
+      }
+    }
+    if (!changed) break;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t partition_mesh(int64_t nel, const int* neighbors,
+                       const double* centroids, int ndom, int refine_passes,
+                       int* epart) {
+  vector<int64_t> all(nel);
+  std::iota(all.begin(), all.end(), 0);
+  rcb(all, centroids, ndom, 0, epart);
+  int64_t cut = refine(nel, neighbors, ndom, refine_passes, epart);
+  make_contiguous(nel, neighbors, ndom, epart);
+  // refinement can re-disconnect; one more gentle pass of each
+  cut = refine(nel, neighbors, ndom, 1, epart);
+  make_contiguous(nel, neighbors, ndom, epart);
+  cut = 0;
+  for (int64_t e = 0; e < nel; ++e)
+    for (int j = 0; j < 3; ++j) {
+      int ne = neighbors[3 * e + j];
+      if (ne >= 0 && epart[ne] != epart[e]) cut++;
+    }
+  return cut / 2;
+}
+
+}  // extern "C"

@@ -1,0 +1,62 @@
+"""Dense stencil assembly vs the scatter-based general path."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from krylov_spdes_tpu.fem.mesh import get_mesh
+from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+from krylov_spdes_tpu.fem.assembly import (
+    prepare_elliptic_assembly, do_isotropic_elliptic_assembly)
+from krylov_spdes_tpu.fem.stencil_assembly import (
+    prepare_stencil_assembly, make_stencil_operator)
+from krylov_spdes_tpu.ops.stencil import (
+    build_stencil_op, stencil_matvec, to_full_vector, to_free_vector)
+from krylov_spdes_tpu.solvers.cg import cg
+
+
+def fsrc(x, y):
+    return -1.0 + 0.0 * x
+
+
+def uex(x, y):
+    return np.sin(2 * x) * y   # nonzero Dirichlet data exercises the lift
+
+
+@pytest.mark.parametrize("jitter", [0.0, 0.25])
+def test_dense_assembly_matches_scatter_path(jitter):
+    mesh = get_mesh(900, jitter=jitter, seed=2)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    asm = prepare_elliptic_assembly(mesh.cells, mesh.points, maps, fsrc, uex)
+    plan = prepare_stencil_assembly(mesh, maps, fsrc, uex)
+    rng = np.random.default_rng(0)
+    for trial in range(2):
+        coeff = np.exp(rng.normal(size=mesh.nnode))
+        A, b = do_isotropic_elliptic_assembly(asm, coeff)
+        St_ref = build_stencil_op(A, maps, (plan.H, plan.W))
+        St, b_full = make_stencil_operator(plan, coeff)
+        np.testing.assert_allclose(np.asarray(St.planes),
+                                   np.asarray(St_ref.planes),
+                                   rtol=1e-12, atol=1e-13)
+        np.testing.assert_allclose(
+            np.asarray(b_full)[maps.free_l2g], np.asarray(b),
+            rtol=1e-12, atol=1e-13)
+
+
+def test_full_pipeline_solve():
+    mesh = get_mesh(1600, jitter=0.15, seed=4)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    asm = prepare_elliptic_assembly(mesh.cells, mesh.points, maps, fsrc, uex)
+    plan = prepare_stencil_assembly(mesh, maps, fsrc, uex)
+    rng = np.random.default_rng(1)
+    coeff = np.exp(rng.normal(size=mesh.nnode))
+    St, b_full = make_stencil_operator(plan, coeff)
+    r = cg(St, b_full)
+    A, b = do_isotropic_elliptic_assembly(asm, coeff)
+    r_ref = cg(A, jnp.asarray(b))
+    # full-grid reduction trees differ from free-dof ones in the last bit
+    assert abs(int(r.it) - int(r_ref.it)) <= 2, (int(r.it), int(r_ref.it))
+    # both converged to ||r|| <= 1e-7||b||; agreement is tol/kappa-level
+    np.testing.assert_allclose(
+        np.asarray(to_free_vector(maps, r.x)), np.asarray(r_ref.x),
+        rtol=1e-3, atol=1e-7)
