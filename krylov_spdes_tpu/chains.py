@@ -33,18 +33,36 @@ def _operator(plan: StencilAssemblyPlan, coeff):
     return Partial(stencil_matvec, op), b
 
 
-def make_chain_step(plan: StencilAssemblyPlan, M=None, nvec: int = 20,
+def _diag_apply(dinv, r):
+    return dinv * r
+
+
+def _precond_for(plan, M, planes):
+    """M="jacobi" builds the diagonal preconditioner from the freshly
+    assembled plane 0 (free — no extra memory traffic)."""
+    if M == "jacobi":
+        d = (planes[0] + plan.dir_diag).reshape(-1)
+        return Partial(_diag_apply, 1.0 / d)
+    return as_precond_op(M)
+
+
+def make_chain_step(plan: StencilAssemblyPlan, M="jacobi", nvec: int = 20,
                     spdim: int = 61, maxit: int = 500,
                     rtol: float | None = None):
     """Returns `step(state, W) -> (state, W', iters, proposals)` — jitted,
-    vmappable. W must be a (n_full, nvec) basis (seed with `seed_chain`)."""
+    vmappable. W must be a (n_full, nvec) basis (seed with `seed_chain`).
+    M: "jacobi" (per-realization diagonal, default), None, or a pytree
+    callable (must itself be constant across realizations)."""
     rtol = config.rtol if rtol is None else rtol
-    Mfn = as_precond_op(M)
 
     @jax.jit
     def step(state: SamplerState, W):
         state, cnt = (_draw_mcmc if state.kind != "mc" else _draw_mc)(state)
-        A, b = _operator(plan, jnp.exp(state.g))
+        planes, b = stencil_assemble(plan, jnp.exp(state.g))
+        op = StencilOp(planes=planes, dir_diag=plan.dir_diag,
+                       slot=jnp.zeros((0,), jnp.int32), H=plan.H, W=plan.W)
+        A = Partial(stencil_matvec, op)
+        Mfn = _precond_for(plan, M, planes)
         x0 = jnp.zeros_like(b)
         x, it, res, Wn = _eigdef_impl(A, Mfn, b, x0, W, nvec, spdim, maxit,
                                       rtol, True, True)
@@ -53,19 +71,23 @@ def make_chain_step(plan: StencilAssemblyPlan, M=None, nvec: int = 20,
     return step
 
 
-def seed_chain(plan: StencilAssemblyPlan, state: SamplerState, M=None,
+def seed_chain(plan: StencilAssemblyPlan, state: SamplerState, M="jacobi",
                nvec: int = 20, spdim: int = 61, maxit: int = 500,
                rtol: float | None = None):
     """First solve of a chain with eigPCG to harvest the initial W
     (Example09's s=1 seeding)."""
     rtol = config.rtol if rtol is None else rtol
-    A, b = _operator(plan, jnp.exp(state.g))
-    x, it, res, W = _eigpcg_impl(A, as_precond_op(M), b, jnp.zeros_like(b),
+    planes, b = stencil_assemble(plan, jnp.exp(state.g))
+    op = StencilOp(planes=planes, dir_diag=plan.dir_diag,
+                   slot=jnp.zeros((0,), jnp.int32), H=plan.H, W=plan.W)
+    A = Partial(stencil_matvec, op)
+    Mfn = _precond_for(plan, M, planes)
+    x, it, res, W = _eigpcg_impl(A, Mfn, b, jnp.zeros_like(b),
                                  nvec, spdim, maxit, rtol)
     return W, it
 
 
-def run_chains(plan: StencilAssemblyPlan, states, nsmp: int, M=None,
+def run_chains(plan: StencilAssemblyPlan, states, nsmp: int, M="jacobi",
                nvec: int = 20, spdim: int = 61, maxit: int = 500):
     """Batched multi-chain driver: states is a vmapped SamplerState (leading
     chain axis). Returns (final states, iteration table (nchains, nsmp))."""

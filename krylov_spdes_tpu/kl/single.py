@@ -58,17 +58,35 @@ def _generalized_eigh(C: jnp.ndarray, Md: jnp.ndarray):
 
 
 def solve_kl(cells, points, cov, nev: int, M: SparseOp,
-             relative: float = 0.99, verbose: bool = False):
+             relative: float = 0.99, verbose: bool = False,
+             method: str = "auto", lobpcg_iters: int = 60):
     """KL eigenpairs with energy-ratio truncation (KarhunenLoeve.jl:123-193).
 
     Returns (Λ: (nvec,), Ψ: (nnode, nvec)) as numpy, M-normalized,
     nvec <= nev chosen by the reference's truncation rule.
+
+    method: "dense" (Cholesky+eigh, O(n³)), "lobpcg" (O(n²·nev)/iter —
+    the ARPACK-like iterative path), or "auto" (lobpcg when nev ≪ n).
     """
     C = mass_covariance_operator(M, points, cov)
-    Md = M.todense()
-    w, psi = _generalized_eigh(C, Md)
-    w = np.asarray(w)[:nev]
-    psi = np.asarray(psi)[:, :nev]
+    n = C.shape[0]
+    if method == "auto":
+        method = "lobpcg" if (n > 1500 and nev < n // 8) else "dense"
+    if method == "lobpcg":
+        from jax.tree_util import Partial
+        from .lobpcg import lobpcg_generalized
+        from ..ops.sparse import ell_spmv as _spmv
+        Cfn = Partial(jnp.matmul, C)
+        Mfn = Partial(_spmv, M)
+        w, psi = lobpcg_generalized(Cfn, Mfn, n, nev, iters=lobpcg_iters,
+                                    dtype=C.dtype)
+        w = np.asarray(w)
+        psi = np.asarray(psi)
+    else:
+        Md = M.todense()
+        w, psi = _generalized_eigh(C, Md)
+        w = np.asarray(w)[:nev]
+        psi = np.asarray(psi)[:, :nev]
 
     # Energy target: relative · Area · cov(center, center), where center is the
     # mean of element centroids (KarhunenLoeve.jl:141-168).

@@ -90,3 +90,21 @@ def test_draw_statistics():
     var_th = (psi ** 2 @ lam)
     assert np.abs(xs.mean(axis=0)).max() < 0.35
     assert np.abs(var_emp - var_th).mean() < 0.15
+
+
+def test_lobpcg_matches_dense():
+    """LOBPCG path (ARPACK replacement at scale) matches the dense eigh."""
+    mesh = get_mesh(1800, seed=5)
+    cov = make_cov("sexp", sig2=1.0, L=0.3)
+    M = get_mass_matrix(mesh.cells, mesh.points)
+    lam_d, psi_d = solve_kl(mesh.cells, mesh.points, cov, 25, M,
+                            relative=0.999, method="dense")
+    lam_l, psi_l = solve_kl(mesh.cells, mesh.points, cov, 25, M,
+                            relative=0.999, method="lobpcg")
+    k = min(len(lam_d), len(lam_l))
+    np.testing.assert_allclose(lam_l[:k], lam_d[:k], rtol=1e-8)
+    # subspace agreement in M-inner product
+    Md = np.asarray(M.todense())
+    s = np.linalg.svd(psi_d[:, :k].T @ Md @ psi_l[:, :k],
+                      compute_uv=False)
+    assert s.min() > 1 - 1e-6, s
