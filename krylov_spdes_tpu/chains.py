@@ -33,6 +33,16 @@ def _operator(plan: StencilAssemblyPlan, coeff):
     return Partial(stencil_matvec, op), b
 
 
+def effective_rtol(dtype, rtol=None):
+    """The reference's 1e-7 target (f64) is below the f32 attainable-residual
+    floor at production sizes — f32 chains stall at maxit. Parity runs are
+    f64; f32 perf runs default to 1e-5."""
+    if rtol is not None:
+        return rtol
+    return max(config.rtol, 1e-5) if jnp.dtype(dtype) == jnp.float32 \
+        else config.rtol
+
+
 def _diag_apply(dinv, r):
     return dinv * r
 
@@ -53,7 +63,7 @@ def make_chain_step(plan: StencilAssemblyPlan, M="jacobi", nvec: int = 20,
     vmappable. W must be a (n_full, nvec) basis (seed with `seed_chain`).
     M: "jacobi" (per-realization diagonal, default), None, or a pytree
     callable (must itself be constant across realizations)."""
-    rtol = config.rtol if rtol is None else rtol
+    rtol = effective_rtol(plan.factors.dtype, rtol)
 
     @jax.jit
     def step(state: SamplerState, W):
@@ -76,7 +86,7 @@ def seed_chain(plan: StencilAssemblyPlan, state: SamplerState, M="jacobi",
                rtol: float | None = None):
     """First solve of a chain with eigPCG to harvest the initial W
     (Example09's s=1 seeding)."""
-    rtol = config.rtol if rtol is None else rtol
+    rtol = effective_rtol(plan.factors.dtype, rtol)
     planes, b = stencil_assemble(plan, jnp.exp(state.g))
     op = StencilOp(planes=planes, dir_diag=plan.dir_diag,
                    slot=jnp.zeros((0,), jnp.int32), H=plan.H, W=plan.W)

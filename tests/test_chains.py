@@ -1,0 +1,43 @@
+"""Fully on-device MCMC chains (flagship workload)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from krylov_spdes_tpu.fem.mesh import get_mesh
+from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+from krylov_spdes_tpu.fem.stencil_assembly import prepare_stencil_assembly
+from krylov_spdes_tpu.fem.assembly import get_mass_matrix
+from krylov_spdes_tpu.kl.covariance import make_cov
+from krylov_spdes_tpu.kl.single import solve_kl
+from krylov_spdes_tpu.samplers.samplers import prepare_mcmc_sampler
+from krylov_spdes_tpu.chains import run_chains, effective_rtol
+
+
+def test_chain_recycling_reduces_iterations():
+    mesh = get_mesh(900, seed=0)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    plan = prepare_stencil_assembly(
+        mesh, maps, lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+    cov = make_cov("sexp", 1.0, 0.3)
+    M = get_mass_matrix(mesh.cells, mesh.points)
+    lam, psi = solve_kl(mesh.cells, mesh.points, cov, 15, M, relative=0.99)
+    nchains = 3
+    states = jax.vmap(lambda k: prepare_mcmc_sampler(lam, psi, key=k))(
+        jnp.arange(nchains, dtype=jnp.uint32))
+    states, its = run_chains(plan, states, nsmp=4, nvec=10, spdim=26,
+                             maxit=1000)
+    its = np.asarray(its)
+    assert its.shape == (nchains, 4)
+    assert (its < 1000).all(), its          # everything converged
+    # recycled samples beat the unrecycled seed solve
+    assert (its[:, 1:].mean(axis=1) < its[:, 0]).all(), its
+    # chains advanced (different latent states)
+    xi = np.asarray(states.xi)
+    assert not np.allclose(xi[0], xi[1])
+
+
+def test_effective_rtol():
+    assert effective_rtol(jnp.float64) == 1e-7
+    assert effective_rtol(jnp.float32) == 1e-5
+    assert effective_rtol(jnp.float32, 1e-8) == 1e-8
