@@ -1,0 +1,91 @@
+"""Postprocessing plots for the example drivers' NPZ outputs.
+
+Replaces the reference's matplotlib layer (/root/reference/postproc_utils.py
+:1-79 and the Example*.py scripts): iteration mean±std curves per method
+(Example09...py:36-75), field / partition rendering with tripcolor
+(postproc_utils.py:20-72).
+
+Usage:
+  python postproc.py iters   data/<root>.ex09.iters.npz out.png
+  python postproc.py field   data/<root>.ex02.kl.npz out.png [--nnode N]
+  python postproc.py partition <nnode> <ndom> out.png
+"""
+
+import sys
+
+import numpy as np
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+
+def plot_iters(npz_path: str, out: str):
+    """Mean±std per-sample iteration curves across chains per method."""
+    d = np.load(npz_path)
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    for name in d.files:
+        arr = d[name]
+        if arr.ndim == 1:
+            arr = arr[None, :]
+        if arr.dtype.kind not in "iu" or name == "status":
+            continue
+        mean = arr.mean(axis=0)
+        std = arr.std(axis=0)
+        s = np.arange(1, mean.shape[0] + 1)
+        ax.plot(s, mean, label=name, marker="o", ms=3)
+        ax.fill_between(s, mean - std, mean + std, alpha=0.2)
+    ax.set_xlabel("sample s along chain")
+    ax.set_ylabel("solver iterations")
+    ax.legend(fontsize=8)
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out, dpi=130)
+    print(f"wrote {out}")
+
+
+def plot_field(npz_path: str, out: str):
+    """tripcolor of a nodal field (g or u) on the mesh."""
+    sys.path.insert(0, ".")
+    from common import base_parser  # noqa: F401 (ensures package importable)
+    from krylov_spdes_tpu.fem.mesh import get_mesh
+    d = np.load(npz_path)
+    key = "g" if "g" in d.files else ("u" if "u" in d.files else d.files[0])
+    field = d[key]
+    mesh = get_mesh(field.shape[0])
+    fig, ax = plt.subplots(figsize=(5.5, 5))
+    tpc = ax.tripcolor(mesh.points[:, 0], mesh.points[:, 1],
+                       mesh.cells, field, shading="gouraud")
+    fig.colorbar(tpc, ax=ax)
+    ax.set_aspect("equal")
+    ax.set_title(key)
+    fig.tight_layout()
+    fig.savefig(out, dpi=130)
+    print(f"wrote {out}")
+
+
+def plot_partition(nnode: int, ndom: int, out: str):
+    from krylov_spdes_tpu.fem.mesh import get_mesh
+    from krylov_spdes_tpu.fem.partition import mesh_partition
+    mesh = get_mesh(nnode)
+    epart, _ = mesh_partition(mesh.cells, mesh.points, ndom,
+                              mesh.cell_neighbors)
+    fig, ax = plt.subplots(figsize=(5.5, 5))
+    tpc = ax.tripcolor(mesh.points[:, 0], mesh.points[:, 1], mesh.cells,
+                       facecolors=epart.astype(float), cmap="tab20")
+    ax.set_aspect("equal")
+    ax.set_title(f"{ndom}-way partition")
+    fig.tight_layout()
+    fig.savefig(out, dpi=130)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1]
+    if cmd == "iters":
+        plot_iters(sys.argv[2], sys.argv[3])
+    elif cmd == "field":
+        plot_field(sys.argv[2], sys.argv[3])
+    elif cmd == "partition":
+        plot_partition(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    else:
+        raise SystemExit(__doc__)

@@ -1,0 +1,31 @@
+import numpy as np
+import pytest
+
+from krylov_spdes_tpu.utils.diagnostics import (preconditioned_spectrum,
+                                                condition_estimate)
+from krylov_spdes_tpu.precond.simple import jacobi_precond
+from krylov_spdes_tpu.precond.amg import amg_precond
+
+from test_precond import _system
+
+
+def test_spectrum_and_condition_agree():
+    A, b, _ = _system(400, seed=0)
+    M = jacobi_precond(A)
+    w = preconditioned_spectrum(A, M)
+    assert w[0] > 0                     # SPD preserved
+    lmin, lmax, kappa = condition_estimate(A, M, iters=80)
+    # Lanczos extremes bracket within the true spectrum and capture lmax well
+    assert lmax <= w[-1] * (1 + 1e-8)
+    assert abs(lmax - w[-1]) / w[-1] < 1e-6
+    assert lmin >= w[0] * (1 - 1e-8)
+    assert kappa <= (w[-1] / w[0]) * (1 + 1e-6)
+
+
+def test_preconditioning_lowers_condition():
+    A, b, _ = _system(1000, seed=1)
+    _, _, k_plain = condition_estimate(A, None, iters=80)
+    _, _, k_jac = condition_estimate(A, jacobi_precond(A), iters=80)
+    _, _, k_amg = condition_estimate(A, amg_precond(A), iters=80)
+    assert k_amg < k_jac < k_plain, (k_amg, k_jac, k_plain)
+    assert k_amg < 10

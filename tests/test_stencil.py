@@ -81,3 +81,14 @@ def test_diagonal_and_jacobi():
     r_ref = pcg(A, jnp.asarray(b),
                 M=lambda v: jnp.asarray(1.0 / dfull[maps.free_l2g]) * v)
     assert abs(int(r.it) - int(r_ref.it)) <= 1
+
+
+def test_pallas_kernel_parity_interpret():
+    """Pallas stencil kernel (interpret mode on CPU) is bit-exact vs XLA."""
+    from krylov_spdes_tpu.ops.pallas_stencil import stencil_matvec_pallas
+    mesh, maps, A, b, St = _setup(nn=900, jitter=0.2, seed=11)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=mesh.nnode))
+    y_ref = stencil_matvec(St, x)
+    y_pal = stencil_matvec_pallas(St, x, interpret=True)
+    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_pal))
