@@ -1,0 +1,78 @@
+"""Weak-scaling harness for the sharded Schur matvec.
+
+BASELINE.md north star: ≥80% weak-scaling nnz/s efficiency on a multi-host
+pod slice. This harness keeps the per-device subdomain count constant and
+grows the device count, timing the shard_map matvec (local batched work + one
+Γ-sized psum). On this container only virtual CPU devices are available, so
+the numbers validate FUNCTIONAL scaling (the collective pattern and its
+cost shape); on a pod slice the same script produces the real efficiency
+curve.
+
+Run:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python scaling_harness.py --cpu --doms-per-device 4 --nnode 4000
+"""
+
+from common import base_parser, init_backend, build_fem, build_dd
+
+import time
+import numpy as np
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--doms-per-device", type=int, default=4)
+    p.add_argument("--reps", type=int, default=50)
+    args = p.parse_args()
+    jax = init_backend(args)
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from krylov_spdes_tpu.fem.dd import assemble_dd_values
+    from krylov_spdes_tpu.fem.schur import prepare_schur_operator
+    from krylov_spdes_tpu.parallel.schur_sharded import sharded_schur_matvec
+
+    devices = np.asarray(jax.devices())
+    results = []
+    base_nnode = args.nnode
+    for ndev in [d for d in [1, 2, 4, 8, 16] if d <= devices.size]:
+        # weak scaling: constant per-device problem (mesh grows with devices)
+        args.nnode = base_nnode * ndev
+        args.ndom = ndev * args.doms_per_device
+        mesh, maps, asm = build_fem(args)
+        epart, part, plan = build_dd(args, mesh, maps)
+        rng = np.random.default_rng(args.seed)
+        coeff = jnp.asarray(np.exp(rng.normal(size=mesh.nnode)),
+                            plan.kflat.dtype)
+        blocks = assemble_dd_values(plan, coeff)
+        S = prepare_schur_operator(plan, part, *blocks[:3])
+        dev_mesh = Mesh(devices[:ndev].reshape(ndev, 1), ("dom", "chain"))
+        op = sharded_schur_matvec(dev_mesh, S)
+
+        @jax.jit
+        def many(x):
+            def body(i, x):
+                y = op(x)
+                return y / jnp.linalg.norm(y)
+            return jax.lax.fori_loop(0, args.reps, body, x)
+
+        x = jnp.asarray(rng.normal(size=part.n_gamma), plan.kflat.dtype)
+        y = many(x)
+        float(jnp.sum(y))                 # compile + honest sync
+        t0 = time.time()
+        y = many(x)
+        float(jnp.sum(y))
+        dt = (time.time() - t0) / args.reps
+        # weak-scaling work: total interior flops grow with ndev
+        work = float(ndev * args.doms_per_device * part.nI_max ** 2)
+        results.append((ndev, dt, work / dt))
+        print(f"ndev={ndev:2d} ndom={args.ndom:3d} t/matvec={dt * 1e3:8.2f} ms"
+              f"  rate={work / dt / 1e9:8.2f} Gflop-equiv/s", flush=True)
+    if len(results) > 1:
+        base = results[0][2]
+        for ndev, dt, rate in results:
+            print(f"ndev={ndev:2d}: weak-scaling efficiency "
+                  f"{rate / (base * ndev) * 100:6.1f}%")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Explicit shard_map Schur operators: the halo exchange as a real collective.
+
+The reference sketched (and never enabled) a distributed Schur matvec
+(`Sx = @distributed (+) for idom...`, Fem/EllipticPdePllDomainDecomposition
+.jl:1-19). Here it is implemented with `shard_map` + `psum`: each device owns
+a dom-shard of the batched blocks, computes its local Γ contributions, and
+the partition-of-unity sum over subdomains — the DD halo exchange — is ONE
+`psum` over the ICI ring. Interface vectors (n_Γ ≪ n) stay replicated, so
+the collective moves only Γ-sized data (SURVEY.md §2.2 P5 / §7 step 8).
+
+This is the explicit-collective counterpart of the GSPMD-annotated path in
+`parallel/sharding.py`; both produce identical results — the explicit form is
+what you profile and tune on a pod slice.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+from jax.tree_util import Partial
+
+from ..fem.schur import SchurOperator, interior_solve
+
+
+def sharded_schur_matvec(mesh: Mesh, S: SchurOperator):
+    """Returns a pytree callable x -> S x with the dom axis sharded over
+    mesh axis 'dom' and an explicit psum as the Γ exchange."""
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("dom"), P("dom"), P("dom"), P("dom"), P("dom"),
+                       P()),
+             out_specs=P())
+    def matvec(A_II_L, A_IG, A_GGd, g2g, gmask, x):
+        xd = x[g2g] * gmask                          # local dom shard
+        t1 = jnp.einsum("dgh,dh->dg", A_GGd, xd)
+        v = jnp.einsum("dig,dg->di", A_IG, xd)
+        w = interior_solve(A_II_L, v)
+        t2 = jnp.einsum("dig,di->dg", A_IG, w)
+        Sdxd = (t1 - t2) * gmask
+        part = jnp.zeros((S.n_gamma,), x.dtype)
+        part = part.at[g2g.reshape(-1)].add(Sdxd.reshape(-1))
+        # the halo exchange: sum partition-of-unity contributions over ICI
+        return jax.lax.psum(part, "dom")
+
+    return Partial(matvec, S.A_II_L, S.A_IG, S.A_GGd, S.gammad_to_gamma,
+                   S.gmask)
+
+
+def sharded_schur_rhs(mesh: Mesh, S: SchurOperator, b_I, b_G):
+    """b_schur with the interior condensation sharded and one psum."""
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("dom"), P("dom"), P("dom"), P("dom"), P("dom")),
+             out_specs=P())
+    def interior_part(A_II_L, A_IG, g2g, gmask, b_I):
+        v = interior_solve(A_II_L, b_I)
+        w = jnp.einsum("dig,di->dg", A_IG, v) * gmask
+        part = jnp.zeros((S.n_gamma,), b_I.dtype)
+        part = part.at[g2g.reshape(-1)].add(w.reshape(-1))
+        return jax.lax.psum(part, "dom")
+
+    return b_G - interior_part(S.A_II_L, S.A_IG, S.gammad_to_gamma, S.gmask,
+                               b_I)

@@ -1,0 +1,59 @@
+"""Sharded (shard_map + psum) Schur operators on the virtual 8-device mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from krylov_spdes_tpu.fem.dd import assemble_dd_values
+from krylov_spdes_tpu.fem.schur import (prepare_schur_operator,
+                                        schur_matvec, get_schur_rhs)
+from krylov_spdes_tpu.parallel.sharding import make_mesh
+from krylov_spdes_tpu.parallel.schur_sharded import (sharded_schur_matvec,
+                                                     sharded_schur_rhs)
+from krylov_spdes_tpu.solvers.cg import cg
+
+from test_dd import build
+
+
+@pytest.fixture(scope="module")
+def problem():
+    ndev = len(jax.devices())
+    assert ndev == 8, "conftest should have forced an 8-device CPU mesh"
+    mesh, maps, epart, part, plan, asm, coeff = build(nnode=700, ndom=16,
+                                                      seed=21)
+    blocks = assemble_dd_values(plan, jnp.asarray(coeff))
+    S = prepare_schur_operator(plan, part, *blocks[:3])
+    return S, blocks[3], blocks[4]
+
+
+def test_sharded_matvec_matches_local(problem):
+    S, b_I, b_G = problem
+    dev_mesh = make_mesh(n_dom=8, n_chain=1)
+    op = sharded_schur_matvec(dev_mesh, S)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=S.n_gamma))
+    np.testing.assert_allclose(np.asarray(op(x)),
+                               np.asarray(schur_matvec(S, x)),
+                               rtol=1e-11, atol=1e-12)
+
+
+def test_sharded_rhs_matches_local(problem):
+    S, b_I, b_G = problem
+    dev_mesh = make_mesh(n_dom=8, n_chain=1)
+    bs = sharded_schur_rhs(dev_mesh, S, b_I, b_G)
+    np.testing.assert_allclose(np.asarray(bs),
+                               np.asarray(get_schur_rhs(S, b_I, b_G)),
+                               rtol=1e-11, atol=1e-12)
+
+
+def test_sharded_cg_solve(problem):
+    S, b_I, b_G = problem
+    dev_mesh = make_mesh(n_dom=8, n_chain=1)
+    op = sharded_schur_matvec(dev_mesh, S)
+    bs = sharded_schur_rhs(dev_mesh, S, b_I, b_G)
+    r = cg(op, bs)
+    r_ref = cg(S, get_schur_rhs(S, b_I, b_G))
+    assert abs(int(r.it) - int(r_ref.it)) <= 1
+    np.testing.assert_allclose(np.asarray(r.x), np.asarray(r_ref.x),
+                               rtol=1e-6, atol=1e-9)
