@@ -19,6 +19,9 @@ def main():
     p.add_argument("--nsmp", type=int, default=10)
     p.add_argument("--nvec", type=int, default=None)
     p.add_argument("--maxit", type=int, default=2000)
+    p.add_argument("--fast", action="store_true",
+                   help="fully on-device chains (stencil assembly + "
+                        "eigDef-PCG, vmapped over chains)")
     args = p.parse_args()
     jax = init_backend(args)
     import jax.numpy as jnp
@@ -33,6 +36,28 @@ def main():
     spdim = max(3 * nvec, 2 * nvec + 1)
     mesh, maps, asm = build_fem(args)
     cov, M, lam, psi = build_kl(args, mesh)
+
+    if args.fast:
+        import time
+        from krylov_spdes_tpu.fem.stencil_assembly import (
+            prepare_stencil_assembly)
+        from krylov_spdes_tpu.samplers.samplers import prepare_mcmc_sampler
+        from krylov_spdes_tpu.chains import run_chains
+        from common import fsrc, uex
+        plan = prepare_stencil_assembly(mesh, maps, fsrc, uex)
+        states = jax.vmap(lambda k: prepare_mcmc_sampler(lam, psi, key=k))(
+            jnp.arange(args.nchains, dtype=jnp.uint32))
+        t0 = time.time()
+        states, its = run_chains(plan, states, nsmp=args.nsmp, nvec=nvec,
+                                 spdim=spdim, maxit=args.maxit)
+        its = np.asarray(its)
+        dt = time.time() - t0
+        print(f"on-device chains: {args.nchains}x{args.nsmp} samples in "
+              f"{dt:.1f}s ({dt / (args.nchains * args.nsmp) * 1e3:.0f} "
+              f"ms/sample)")
+        print("per-sample mean iters:", its.mean(axis=0).round(1))
+        save_npz(args, f"ndom{args.ndom}.ex17.fast", iters=its)
+        return
     A0, _ = do_isotropic_elliptic_assembly(asm, np.ones(mesh.nnode))
     M0 = amg_precond(A0)
 

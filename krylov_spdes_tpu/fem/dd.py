@@ -255,6 +255,28 @@ def prepare_dd_assembly(cells, points, epart, part: DDPartition,
         n_gg=int(idx_gg.shape[0]))
 
 
+def domain_decompose_rhs(part: DDPartition, maps: DirichletMaps, b_free):
+    """Split a free-dof RHS into (b_I (ndom, nI), b_G (n_gamma,)) — reference
+    `domain_decompose_rhs!` (EllipticPdeDomainDecomposition.jl:545-582)."""
+    b_free = np.asarray(b_free)
+    b_I = np.zeros((part.ndom, part.nI_max), dtype=b_free.dtype)
+    for d in range(part.ndom):
+        nd = int(part.n_interior[d])
+        b_I[d, :nd] = b_free[maps.free_g2l[part.interior_l2g[d, :nd]]]
+    b_G = b_free[maps.free_g2l[part.gamma_l2g]]
+    return jnp.asarray(b_I), jnp.asarray(b_G)
+
+
+def get_partition(cells, points, cell_neighbors, maps: DirichletMaps,
+                  ndom: int):
+    """Partition + DD index structures in one call (reference `get_partition`,
+    Fem/Mesh.jl:265-293)."""
+    from .partition import mesh_partition
+    epart, npart = mesh_partition(cells, points, ndom, cell_neighbors)
+    part = set_subdomains(cells, epart, maps, ndom)
+    return epart, npart, part
+
+
 @jax.jit
 def assemble_dd_values(plan: DDAssemblyPlan, coeff_nodes):
     """Per-realization refill of the batched DD blocks (device).

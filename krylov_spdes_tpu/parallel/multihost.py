@@ -1,0 +1,46 @@
+"""Multi-host initialization and pod-slice mesh construction.
+
+Replaces the reference's SSH cluster bring-up (`add_my_procs`,
+Utils/PllUtils.jl:16-39 — hard-coded hostnames, tunneled addprocs) with
+`jax.distributed`: every host runs the same program, the runtime wires the
+ICI/DCN topology, and the global device mesh spans the slice. On a single
+host this is a no-op and the local devices form the mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Initialize multi-host JAX (no-op when single-host or already up).
+
+    On TPU pods the arguments are auto-detected from the environment; pass
+    them explicitly for CPU/GPU clusters."""
+    try:
+        if coordinator is None and num_processes is None:
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(coordinator, num_processes, process_id)
+    except (RuntimeError, ValueError):
+        pass  # single-host or already initialized
+
+
+def global_mesh(n_dom: int | None = None, n_chain: int = 1) -> Mesh:
+    """Device mesh over ALL processes' devices: 'dom' rides ICI within a
+    slice, 'chain' is the embarrassingly parallel axis (lay it over DCN
+    when spanning slices)."""
+    devices = np.asarray(jax.devices())
+    if n_dom is None:
+        n_dom = devices.size // n_chain
+    assert n_dom * n_chain == devices.size, \
+        f"{devices.size} devices != {n_dom} x {n_chain}"
+    return Mesh(devices.reshape(n_dom, n_chain), axis_names=("dom", "chain"))
+
+
+def is_coordinator() -> bool:
+    return jax.process_index() == 0

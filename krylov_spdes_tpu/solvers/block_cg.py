@@ -1,0 +1,87 @@
+"""Block CG/PCG: all right-hand sides advance together.
+
+TPU-native addition beyond the reference's sequential multiple-RHS loop
+(Example11 solves MC-sampled b's one at a time): block CG turns every SpMV
+into a multi-RHS product (n, k) — the shape the MXU wants — and shares
+spectral information across the block (fewer iterations than k independent
+solves). The reference has no block solver; this is the idiomatic TPU
+equivalent of its multiple-RHS workload, with O'Leary's recurrence and small
+k×k Gram solves on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import config
+from .base import SolveResult, as_linear_op, as_precond_op
+
+
+def _solve_gram(G, B):
+    """Solve the small SPD k×k system G X = B with a safe fallback."""
+    k = G.shape[0]
+    Gs = (G + G.T) / 2 + jnp.finfo(G.dtype).eps * jnp.trace(G) / k * \
+        jnp.eye(k, dtype=G.dtype)
+    return jax.scipy.linalg.solve(Gs, B, assume_a="pos")
+
+
+@partial(jax.jit, static_argnames=("maxit",))
+def _block_pcg_impl(A, M, B, X0, maxit, rtol):
+    n, k = B.shape
+    X = X0.astype(B.dtype)
+    R = B - A(X)
+    Z = M(R)
+    P = Z
+    RtZ = R.T @ Z
+    bnorms = jnp.linalg.norm(B, axis=0)
+    tol = rtol * bnorms
+    res0 = jnp.linalg.norm(R, axis=0)
+    res_hist = jnp.zeros((maxit, k), B.dtype).at[0].set(res0)
+
+    def cond(c):
+        X, R, P, RtZ, it, hist = c
+        return (it < maxit) & jnp.any(hist[it - 1] > tol)
+
+    def body(c):
+        X, R, P, RtZ, it, hist = c
+        AP = A(P)
+        alpha = _solve_gram(P.T @ AP, RtZ)
+        X = X + P @ alpha
+        R = R - AP @ alpha
+        Z = M(R)
+        RtZ_new = R.T @ Z
+        beta = _solve_gram(RtZ, RtZ_new)
+        P = Z + P @ beta
+        hist = hist.at[it].set(jnp.linalg.norm(R, axis=0))
+        return X, R, P, RtZ_new, it + 1, hist
+
+    X, R, P, RtZ, it, hist = jax.lax.while_loop(
+        cond, body, (X, R, P, RtZ, jnp.int32(1), res_hist))
+    return X, it, hist
+
+
+def block_pcg(A, B, X=None, M=None, maxit: int = 0,
+              rtol: float | None = None) -> SolveResult:
+    """Solve A X = B for all k columns simultaneously. Stops when EVERY
+    column satisfies ||r_j|| <= rtol ||b_j||."""
+    B = jnp.asarray(B)
+    n, k = B.shape
+    maxit = n if maxit == 0 else maxit
+    rtol = config.rtol if rtol is None else rtol
+    X0 = jnp.zeros_like(B) if X is None else jnp.asarray(X)
+    Afn = as_linear_op(A)
+    Mfn = as_precond_op(M)
+
+    def A_block(Xb):
+        return jax.vmap(Afn, in_axes=1, out_axes=1)(Xb)
+
+    def M_block(Rb):
+        return jax.vmap(Mfn, in_axes=1, out_axes=1)(Rb)
+
+    from jax.tree_util import Partial
+    Xs, it, hist = _block_pcg_impl(Partial(A_block), Partial(M_block), B, X0,
+                                   maxit, rtol)
+    return SolveResult(x=Xs, it=it, res_norm=hist)

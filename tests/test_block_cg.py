@@ -1,0 +1,34 @@
+import numpy as np
+import jax.numpy as jnp
+
+from krylov_spdes_tpu.solvers.block_cg import block_pcg
+from krylov_spdes_tpu.solvers.cg import cg, pcg
+from krylov_spdes_tpu.precond.simple import jacobi_precond
+
+from test_cg import setup_system
+
+
+def test_block_cg_solves_all_columns():
+    A, b, _, _ = setup_system(500, seed=20)
+    rng = np.random.default_rng(0)
+    k = 6
+    B = jnp.asarray(rng.normal(size=(b.shape[0], k)))
+    r = block_pcg(A, B)
+    import scipy.sparse.linalg as spla
+    Asp = A.to_scipy().tocsc()
+    for j in range(k):
+        xj = spla.spsolve(Asp, np.asarray(B[:, j]))
+        np.testing.assert_allclose(np.asarray(r.x[:, j]), xj, rtol=1e-5,
+                                   atol=1e-8)
+
+
+def test_block_cg_fewer_iterations_than_single():
+    A, b, _, _ = setup_system(800, seed=21)
+    rng = np.random.default_rng(1)
+    k = 8
+    B = jnp.asarray(rng.normal(size=(b.shape[0], k)))
+    M = jacobi_precond(A)
+    r_blk = block_pcg(A, B, M=M)
+    worst_single = max(int(pcg(A, B[:, j], M=M).it) for j in range(k))
+    # block sharing of spectral information beats the worst single solve
+    assert int(r_blk.it) <= worst_single, (int(r_blk.it), worst_single)

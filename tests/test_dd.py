@@ -144,3 +144,38 @@ def test_partition_structures_consistent(ndom):
         nd = int(part.n_gammad[d])
         gl = part.gammad_to_gamma[d, :nd]
         assert np.all(part.gamma_to_gammad[d, gl] == np.arange(nd))
+
+
+def test_domain_decompose_rhs_roundtrip():
+    """Splitting the assembled monolithic RHS reproduces the DD-assembled
+    b_I/b_G exactly (the reference's cross-path consistency)."""
+    from krylov_spdes_tpu.fem.dd import domain_decompose_rhs
+    mesh, maps, epart, part, plan, asm, coeff = build(nnode=500, ndom=5,
+                                                      seed=30)
+    A, b = do_isotropic_elliptic_assembly(asm, coeff)
+    A_II, A_IG, A_GGd, b_I, b_G = assemble_dd_values(plan, jnp.asarray(coeff))
+    b_I2, b_G2 = domain_decompose_rhs(part, maps, np.asarray(b))
+    np.testing.assert_allclose(np.asarray(b_I2), np.asarray(b_I),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(b_G2), np.asarray(b_G),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_legacy_apply_dirichlet():
+    from krylov_spdes_tpu.fem.bc import apply_dirichlet
+    from krylov_spdes_tpu.fem.assembly import get_mass_matrix
+    import oracle
+    mesh = get_mesh(120, jitter=0.2, seed=1)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    # full-node operator (mass matrix as a stand-in for a full assembly)
+    M = oracle.mass_matrix(mesh.cells, mesh.points)
+    b = np.ones(mesh.nnode)
+    segs = np.stack([maps.dir_l2g, maps.dir_l2g], axis=1)
+    uex2 = lambda x, y: x + y
+    A2, b2 = apply_dirichlet(segs, mesh.points, M, b, uex2)
+    A2 = A2.toarray()
+    # Dirichlet rows are identity with the boundary value on the RHS
+    for g in maps.dir_l2g[:5]:
+        assert A2[g, g] == 1.0
+        assert np.count_nonzero(A2[g]) == 1
+        assert b2[g] == mesh.points[g, 0] + mesh.points[g, 1]
