@@ -10,9 +10,6 @@ shards over the device mesh (Example17_Pll's process-per-chain, TPU-native).
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
@@ -24,13 +21,6 @@ from .solvers.eigcg import _eigpcg_impl
 from .solvers.base import as_precond_op
 from .config import config
 from jax.tree_util import Partial
-
-
-def _operator(plan: StencilAssemblyPlan, coeff):
-    planes, b = stencil_assemble(plan, coeff)
-    op = StencilOp(planes=planes, dir_diag=plan.dir_diag,
-                   slot=jnp.zeros((0,), jnp.int32), H=plan.H, W=plan.W)
-    return Partial(stencil_matvec, op), b
 
 
 def effective_rtol(dtype, rtol=None):

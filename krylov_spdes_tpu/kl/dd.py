@@ -30,7 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fem.mesh import element_geometry
-from .covariance import cov_matrix
 from .synthesis import trim_and_order
 
 

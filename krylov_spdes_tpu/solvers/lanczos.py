@@ -14,7 +14,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .base import SolveResult, as_linear_op
+from .base import as_linear_op
 
 
 @partial(jax.jit, static_argnames=("nev", "nvec", "which"))
