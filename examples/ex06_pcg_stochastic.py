@@ -16,6 +16,12 @@ import numpy as np
 def main():
     p = base_parser(__doc__)
     p.add_argument("--strategies", default="amg,lorasc,bj")
+    p.add_argument("--save-conditioning", action="store_true",
+                   help="record per-sample condition estimates of Pi^-1 A "
+                        "(Example06:185-209)")
+    p.add_argument("--save-spectra", action="store_true",
+                   help="record full preconditioned spectra — dense, "
+                        "study-sized only (Example06:215-241)")
     args = p.parse_args()
     jax = init_backend(args)
     import jax.numpy as jnp
@@ -56,6 +62,9 @@ def main():
                       for s in strategies}
     iters = {f"{s}_{mode}": np.zeros(args.nreals, dtype=np.int64)
              for s in strategies for mode in ("const", "rebuilt")}
+    kappas = {s: np.zeros(args.nreals) for s in strategies} \
+        if args.save_conditioning else None
+    spectra = [] if args.save_spectra else None
 
     for ireal in range(args.nreals):
         smp, _ = draw(smp)
@@ -66,13 +75,28 @@ def main():
             iters[f"{s}_const"][ireal] = int(r.it)
             r = pcg(A, b, M=build_precond(s, A, coeff))
             iters[f"{s}_rebuilt"][ireal] = int(r.it)
+            if kappas is not None:
+                from krylov_spdes_tpu.utils.diagnostics import \
+                    condition_estimate
+                kappas[s][ireal] = condition_estimate(
+                    A, const_preconds[s], iters=60)[2]
+        if spectra is not None:
+            from krylov_spdes_tpu.utils.diagnostics import \
+                preconditioned_spectrum
+            spectra.append(preconditioned_spectrum(
+                A, const_preconds[strategies[0]]))
         print(f"real {ireal}: " + "  ".join(
             f"{s}: {iters[f'{s}_const'][ireal]}/{iters[f'{s}_rebuilt'][ireal]}"
             for s in strategies), flush=True)
 
     for k, v in iters.items():
         print(f"{k}: mean {v.mean():.1f} ± {v.std():.1f}")
-    save_npz(args, f"ndom{args.ndom}.ex06.iters", **iters)
+    extra = {}
+    if kappas is not None:
+        extra.update({f"kappa_{s}": kappas[s] for s in strategies})
+    if spectra is not None:
+        extra["spectra"] = np.stack(spectra)
+    save_npz(args, f"ndom{args.ndom}.ex06.iters", **iters, **extra)
 
 
 if __name__ == "__main__":

@@ -41,22 +41,26 @@ class TriMesh:
 
 
 def _cell_neighbors(cells: np.ndarray) -> np.ndarray:
-    """Neighbor element across the edge opposite each local vertex (-1 if none)."""
+    """Neighbor element across the edge opposite each local vertex (-1 if
+    none). Vectorized: sort the edge keys; interior edges appear exactly
+    twice as adjacent entries."""
     nel = cells.shape[0]
-    # Edge opposite local vertex k is (v_{k+1}, v_{k+2}).
-    edges = {}
+    nnode = int(cells.max()) + 1
+    # edge opposite local vertex k is (v_{k+1}, v_{k+2})
+    a = cells[:, [1, 2, 0]].ravel().astype(np.int64)
+    b = cells[:, [2, 0, 1]].ravel().astype(np.int64)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    key = lo * nnode + hi
+    owner_e = np.repeat(np.arange(nel, dtype=np.int64), 3)
+    owner_k = np.tile(np.arange(3, dtype=np.int64), nel)
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    dup = ks[:-1] == ks[1:]                     # matched pairs
+    i1 = order[:-1][dup]
+    i2 = order[1:][dup]
     neighbors = -np.ones((nel, 3), dtype=np.int32)
-    for e in range(nel):
-        v = cells[e]
-        for k in range(3):
-            a, b = v[(k + 1) % 3], v[(k + 2) % 3]
-            key = (min(a, b), max(a, b))
-            if key in edges:
-                oe, ok = edges.pop(key)
-                neighbors[e, k] = oe
-                neighbors[oe, ok] = e
-            else:
-                edges[key] = (e, k)
+    neighbors[owner_e[i1], owner_k[i1]] = owner_e[i2]
+    neighbors[owner_e[i2], owner_k[i2]] = owner_e[i1]
     return neighbors
 
 
@@ -85,23 +89,22 @@ def get_mesh(tentative_nnode: int, jitter: float = 0.0, seed: int = 0) -> TriMes
         delta = rng.uniform(-jitter * h, jitter * h, size=(points.shape[0], 2))
         points[interior] += delta[interior]
 
-    def nid(i, j):  # row-major over (y=i, x=j)
-        return i * n1 + j
-
+    # cells, vectorized: cell (i, j) -> elements 2*(i*m+j), 2*(i*m+j)+1 with
+    # the union-jack alternating diagonal (avoids mesh anisotropy)
+    ii, jj = np.meshgrid(np.arange(m), np.arange(m), indexing="ij")
+    ii, jj = ii.ravel(), jj.ravel()
+    p00 = (ii * n1 + jj).astype(np.int32)
+    p10 = p00 + 1
+    p01 = p00 + n1
+    p11 = p01 + 1
+    even = ((ii + jj) % 2 == 0)
+    t0 = np.where(even[:, None],
+                  np.stack([p00, p10, p11], 1), np.stack([p00, p10, p01], 1))
+    t1 = np.where(even[:, None],
+                  np.stack([p00, p11, p01], 1), np.stack([p10, p11, p01], 1))
     cells = np.empty((2 * m * m, 3), dtype=np.int32)
-    k = 0
-    for i in range(m):
-        for j in range(m):
-            p00, p10 = nid(i, j), nid(i, j + 1)
-            p01, p11 = nid(i + 1, j), nid(i + 1, j + 1)
-            # Alternate the split diagonal (union-jack) to avoid mesh anisotropy.
-            if (i + j) % 2 == 0:
-                cells[k] = (p00, p10, p11)
-                cells[k + 1] = (p00, p11, p01)
-            else:
-                cells[k] = (p00, p10, p01)
-                cells[k + 1] = (p10, p11, p01)
-            k += 2
+    cells[0::2] = t0
+    cells[1::2] = t1
 
     markers = (
         (points[:, 0] <= 0.0) | (points[:, 0] >= 1.0)
