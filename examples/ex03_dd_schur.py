@@ -67,11 +67,16 @@ def main():
     d = u_dd - u_mono
     print(f"solution cross-check extrema: ({d.min():.2e}, {d.max():.2e})")
 
-    # LORASC on the full system
+    # LORASC on the full system, plain and deflated (Example03 README:
+    # "shows effect of deflation on LorascPreconditioner for A u = b")
     M_lor = prepare_lorasc_precond(S, part, maps, nvec=min(25, part.n_gamma // 2),
                                    eps_threshold=0.01)
     r_lor = pcg(A, b, M=M_lor)
     print(f"LORASC-PCG on full system: {int(r_lor.it)} iters")
+    nv = 8
+    W2 = eigpcg(A, b, M=M_lor, nvec=nv, spdim=2 * nv + 4).W
+    r_lor_def = eigdefpcg(A, b, M=M_lor, W=W2, spdim=2 * nv + 4)
+    print(f"deflated LORASC-PCG: {int(r_lor_def.it)} iters")
 
     if args.with_ddlr:
         M_ddlr = prepare_ddlr_precond(S, part, maps, A_II, plan.imask)

@@ -1,0 +1,58 @@
+import os
+import tempfile
+
+import numpy as np
+import jax.numpy as jnp
+
+from krylov_spdes_tpu.utils.persistence import (
+    save_system, load_system, save_deflated_system, load_deflated_system,
+    save_chain_checkpoint, load_chain_checkpoint)
+from krylov_spdes_tpu.samplers.samplers import prepare_mcmc_sampler, draw
+
+from test_cg import setup_system
+
+
+def test_system_roundtrip():
+    A, b, _, _ = setup_system(300, seed=40)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "sys.npz")
+        save_system(p, A, b)
+        A2, b2 = load_system(p)
+        np.testing.assert_allclose(A2.toarray(),
+                                   np.asarray(A.todense()), rtol=1e-14)
+        np.testing.assert_allclose(b2, b, rtol=1e-14)
+
+
+def test_deflated_system_roundtrip():
+    A, b, _, _ = setup_system(300, seed=41)
+    W = np.random.default_rng(0).normal(size=(b.shape[0], 5))
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "defl.npz")
+        save_deflated_system(p, A, b, W)
+        A2, b2, W2 = load_deflated_system(p)
+        np.testing.assert_allclose(W2, W)
+
+
+def test_chain_checkpoint_resume():
+    """A resumed chain continues IDENTICALLY to the uninterrupted one —
+    the upgrade over the reference's discard-and-rerun policy."""
+    rng = np.random.default_rng(2)
+    lam = np.sort(rng.uniform(0.1, 1.0, 6))[::-1].copy()
+    psi = rng.normal(size=(40, 6))
+    s = prepare_mcmc_sampler(lam, psi, key=5)
+    for _ in range(3):
+        s, _ = draw(s)
+    W = rng.normal(size=(40, 4))
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "chain.npz")
+        save_chain_checkpoint(p, s, W, sample_idx=3, iters=[10, 8, 7])
+        # continue the original
+        s_cont, _ = draw(s)
+        # resume from disk and continue
+        template = prepare_mcmc_sampler(lam, psi, key=0)
+        s2, W2, idx, iters = load_chain_checkpoint(p, template)
+        assert idx == 3
+        np.testing.assert_allclose(W2, W)
+        s2_cont, _ = draw(s2)
+        np.testing.assert_array_equal(np.asarray(s_cont.xi),
+                                      np.asarray(s2_cont.xi))
