@@ -137,9 +137,9 @@ def assembled_schur_operator(S: SchurOperator):
     """Linear-operator callable applying the pre-assembled Sd blocks
     (apply_local_schurs assembled flavor, reference :761)."""
     Sd = assemble_local_schurs(S)
-    from functools import partial as fpartial
-    # n_gamma is a shape -> static
-    return Partial(fpartial(_schur_matvec_assembled, S.n_gamma), Sd,
+    from ..solvers.base import static_bind
+    # n_gamma is a shape -> static, bound with a stable identity
+    return Partial(static_bind(_schur_matvec_assembled, S.n_gamma), Sd,
                    S.gammad_to_gamma, S.gmask)
 
 
@@ -196,6 +196,6 @@ def prepare_neumann_neumann_schur_precond(S: SchurOperator):
     Sd = assemble_local_schurs(S)
     PiSd = _masked_pinv(Sd, S.gmask)
     cnt_inv = 1.0 / S.gamma_cnt
-    from functools import partial as fpartial
-    return Partial(fpartial(_nn_apply, S.n_gamma), PiSd, S.gammad_to_gamma,
+    from ..solvers.base import static_bind
+    return Partial(static_bind(_nn_apply, S.n_gamma), PiSd, S.gammad_to_gamma,
                    S.gmask, cnt_inv)

@@ -145,6 +145,6 @@ def amg_precond(A, max_levels: int = 10, max_coarse: int = 64,
     A_host = A.to_scipy() if isinstance(A, SparseOp) else sp.csr_matrix(A)
     hier = amg_setup(A_host, max_levels=max_levels, max_coarse=max_coarse,
                      theta=theta)
-    from functools import partial as fpartial
-    # sweep counts are loop bounds -> static
-    return Partial(fpartial(_vcycle, npre, npost), hier, omega_smooth)
+    from ..solvers.base import static_bind
+    # sweep counts are loop bounds -> static, bound with a stable identity
+    return Partial(static_bind(_vcycle, npre, npost), hier, omega_smooth)

@@ -96,7 +96,7 @@ def block_jacobi_precond(A: SparseOp, nb: int,
     gi = np.minimum(plan.starts[:, None] + np.arange(plan.bmax)[None, :],
                     plan.n - 1).astype(np.int32)
     mask = (np.arange(plan.bmax)[None, :] < plan.sizes[:, None])
-    from functools import partial as fpartial
-    # n is a shape -> static (bound into the function identity)
-    return Partial(fpartial(_bj_apply, plan.n), L, jnp.asarray(gi),
+    from ..solvers.base import static_bind
+    # n is a shape -> static, bound with a STABLE identity (jit-cache safe)
+    return Partial(static_bind(_bj_apply, plan.n), L, jnp.asarray(gi),
                    jnp.asarray(mask.astype(np.asarray(A.data).dtype)))

@@ -40,8 +40,8 @@ def get_cholesky(A, dtype=jnp.float32):
     Ad = A.todense() if isinstance(A, SparseOp) else jnp.asarray(A)
     out_dtype = Ad.dtype
     L = jnp.linalg.cholesky(Ad.astype(dtype))
-    from functools import partial as fpartial
-    return Partial(fpartial(_chol_apply, jnp.dtype(out_dtype).name), L)
+    from ..solvers.base import static_bind
+    return Partial(static_bind(_chol_apply, jnp.dtype(out_dtype).name), L)
 
 
 def get_cholesky32(A):
@@ -56,5 +56,5 @@ def get_cholesky16(A):
     Ad = A.todense() if isinstance(A, SparseOp) else jnp.asarray(A)
     out_dtype = Ad.dtype
     L = jnp.linalg.cholesky(Ad.astype(jnp.float32)).astype(jnp.bfloat16)
-    from functools import partial as fpartial
-    return Partial(fpartial(_chol_apply_bf16, jnp.dtype(out_dtype).name), L)
+    from ..solvers.base import static_bind
+    return Partial(static_bind(_chol_apply_bf16, jnp.dtype(out_dtype).name), L)

@@ -26,7 +26,7 @@ native path is the planned upgrade for very large interfaces.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial as fpartial
+from ..solvers.base import static_bind
 
 import jax
 import jax.numpy as jnp
@@ -176,7 +176,7 @@ def prepare_lorasc_precond(S: SchurOperator, part: DDPartition,
 
     ifree, gfree = free_dof_tables(part, maps)
     dt = S.A_IG.dtype
-    return Partial(fpartial(_lorasc_apply, maps.n_free), S.A_II_L, S.A_IG,
+    return Partial(static_bind(_lorasc_apply, maps.n_free), S.A_II_L, S.A_IG,
                    S.gammad_to_gamma, S.gmask, ifree, gfree, LG,
                    jnp.asarray(E, dt), jnp.asarray(Sig, dt))
 
@@ -258,7 +258,7 @@ def prepare_ddlr_precond(S: SchurOperator, part: DDPartition,
     theta = w[::-1][nvec]
 
     ifree, gfree = free_dof_tables(part, maps)
-    return Partial(fpartial(_ddlr_apply, maps.n_free), jnp.asarray(alpha, dt),
+    return Partial(static_bind(_ddlr_apply, maps.n_free), jnp.asarray(alpha, dt),
                    jnp.asarray(theta, dt), L0_I, L0_G, S.A_IG, g2g, gmask,
                    ifree, gfree, U, Lam)
 
@@ -294,6 +294,6 @@ def prepare_nn_induced_precond(S: SchurOperator, part: DDPartition,
     PiSd = _masked_pinv(Sd, S.gmask)
     cnt_inv = 1.0 / S.gamma_cnt
     ifree, gfree = free_dof_tables(part, maps)
-    return Partial(fpartial(_nn_induced_apply, maps.n_free), S.A_II_L,
+    return Partial(static_bind(_nn_induced_apply, maps.n_free), S.A_II_L,
                    S.A_IG, PiSd, S.gammad_to_gamma, S.gmask, cnt_inv, ifree,
                    gfree)

@@ -70,7 +70,6 @@ def chebyshev_precond(A, lmax_est: float | None = None, degree: int = 4,
         lmax_est = float(jnp.vdot(v, dinv * Afn(v)))
     lmax = 1.1 * lmax_est
     lmin = lmin_frac * lmax_est
-    from functools import partial as fpartial
-    # degree is a loop bound -> must stay static (bound via functools.partial,
-    # which Partial treats as part of the function identity)
-    return Partial(fpartial(_cheby_apply, degree), Afn, dinv, lmin, lmax)
+    from ..solvers.base import static_bind
+    # degree is a loop bound -> static, bound with a stable identity
+    return Partial(static_bind(_cheby_apply, degree), Afn, dinv, lmin, lmax)

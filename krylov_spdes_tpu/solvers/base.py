@@ -26,6 +26,19 @@ def _identity(r):
     return r
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4096)
+def static_bind(func, *static_args):
+    """Bind static (hashable) leading arguments into a function with a STABLE
+    identity: repeated calls with the same (func, args) return the same
+    object. Crucial for jit caching — a fresh `functools.partial` per
+    preconditioner build would retrace every solver on every realization
+    (partial objects hash by identity)."""
+    return functools.partial(func, *static_args)
+
+
 def as_linear_op(A) -> Callable:
     """Normalize to a pytree-compatible callable (jax.tree_util.Partial), so
     solver jits cache on the pytree STRUCTURE: re-solving with new operator

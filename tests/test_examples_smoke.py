@@ -1,0 +1,50 @@
+"""Driver smoke tests: the CLI examples must keep running end-to-end.
+
+Each runs tiny on forced CPU in a subprocess (fresh JAX), in a temp cwd so
+data/ artifacts don't pollute the repo.
+"""
+
+import os
+import subprocess
+import sys
+import tempfile
+
+import pytest
+
+EXDIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "examples")
+
+CASES = [
+    ("ex01_elliptic_pde.py", ["--nnode", "400"]),
+    ("ex02_karhunen_loeve.py", ["--nnode", "300", "--nev", "10",
+                                "--L", "0.4"]),
+    ("ex03_dd_schur.py", ["--nnode", "500", "--ndom", "4"]),
+    ("ex07_pcg_schur_stochastic.py", ["--nnode", "400", "--ndom", "4",
+                                      "--nreals", "1", "--L", "0.4"]),
+    ("ex09_defpcg_mcmc.py", ["--nnode", "400", "--ndom", "4",
+                             "--nchains", "1", "--nsmp", "2", "--L", "0.4"]),
+    ("ex11_multiple_rhs.py", ["--nnode", "300", "--nreals", "2",
+                              "--L", "0.4"]),
+    ("ex12_quantization.py", ["--nnode", "300", "--nreals", "1", "--P", "3",
+                              "--L", "0.4"]),
+    ("ex17_recyclers_mcmc.py", ["--nnode", "400", "--ndom", "4",
+                                "--nchains", "1", "--nsmp", "2",
+                                "--L", "0.4"]),
+    ("ex17_recyclers_mcmc.py", ["--nnode", "400", "--ndom", "4",
+                                "--nchains", "1", "--nsmp", "2",
+                                "--L", "0.4", "--fast"]),
+]
+
+
+@pytest.mark.parametrize("script,args", CASES,
+                         ids=[f"{c[0]}{'-fast' if '--fast' in c[1] else ''}"
+                              for c in CASES])
+def test_example_runs(script, args):
+    with tempfile.TemporaryDirectory() as d:
+        env = dict(os.environ)
+        env["PYTHONPATH"] = EXDIR + os.pathsep + env.get("PYTHONPATH", "")
+        r = subprocess.run(
+            [sys.executable, os.path.join(EXDIR, script), "--cpu"] + args,
+            cwd=d, env=env, capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+        assert "saved" in r.stdout
