@@ -35,14 +35,16 @@ def main():
     S0 = prepare_schur_operator(plan, part, *blocks0[:3])
     Pnn0 = prepare_neumann_neumann_schur_precond(S0)
 
-    def gamma_chol_precond(S):
-        L = jnp.linalg.cholesky(assemble_gamma_matrix(S))
+    import jax.scipy.linalg as jsl
 
-        def apply(L, r):
-            import jax.scipy.linalg as jsl
-            return jsl.solve_triangular(L.T, jsl.solve_triangular(
-                L, r, lower=True), lower=False)
-        return Partial(apply, L)
+    def _gamma_chol_apply(L, r):
+        return jsl.solve_triangular(L.T, jsl.solve_triangular(
+            L, r, lower=True), lower=False)
+
+    def gamma_chol_precond(S):
+        # module-stable function identity -> solver jits cache across reals
+        L = jnp.linalg.cholesky(assemble_gamma_matrix(S))
+        return Partial(_gamma_chol_apply, L)
 
     names = ["nn_const", "nn_rebuilt", "gamma_chol"]
     iters = {k: np.zeros(args.nreals, dtype=np.int64) for k in names}

@@ -208,7 +208,8 @@ def assemble_reduced_covariance(sub: KLSubdomains, points, cov, phi_d,
 
 def solve_global_reduced_kl(nnode, K, energy_expected, sub: KLSubdomains,
                             phi_d, relative: float = 0.99,
-                            verbose: bool = False):
+                            verbose: bool = False,
+                            return_reduced: bool = False):
     """Dense reduced eigensolve + truncation + projection to mesh nodes
     (reference :783-845, project_on_mesh :920-983)."""
     w, V = np.linalg.eigh((K + K.T) / 2)
@@ -233,7 +234,29 @@ def solve_global_reduced_kl(nnode, K, energy_expected, sub: KLSubdomains,
     np.add.at(psi, np.maximum(sub.nodes, 0),
               contrib * sub.node_mask[:, :, None])
     psi /= np.maximum(sub.cnt, 1)[:, None]
+    if return_reduced:
+        return lam, psi, Vr
     return lam, psi
+
+
+def draw_dd(sub: KLSubdomains, lam, V_red, phi_d, key):
+    """Field realization synthesized directly in the two-level basis:
+    g = avg_d Σ_α φ_d,α (V_red √Λ ξ)_dα — the reference's `pll_draw`
+    (KarhunenLoevePllDomainDecomposition.jl:661-693) / DD `draw` (:849-881),
+    as batched matmuls + one multiplicity-averaged scatter. V_red is the
+    reduced eigvec block (ndom, m_max, nmode); returns (ξ, g)."""
+    lam = jnp.asarray(lam)
+    nmode = lam.shape[0]
+    xi = jax.random.normal(key, (nmode,), sub.M_local.dtype)
+    coef = jnp.asarray(V_red) @ (jnp.sqrt(lam) * xi)      # (ndom, m_max)
+    contrib = jnp.einsum("dnm,dm->dn", jnp.asarray(phi_d), coef)
+    maskf = jnp.asarray(sub.node_mask.astype(np.float64), sub.M_local.dtype)
+    contrib = contrib * maskf
+    nnode = sub.cnt.shape[0]
+    g = jnp.zeros((nnode,), contrib.dtype).at[
+        jnp.asarray(np.maximum(sub.nodes, 0)).reshape(-1)].add(
+        contrib.reshape(-1))
+    return xi, g / jnp.asarray(np.maximum(sub.cnt, 1), contrib.dtype)
 
 
 def compute_dd_kl(cells, points, epart, ndom, cov, nev: int,

@@ -76,3 +76,27 @@ def test_forget_screening_saves_pairs_but_keeps_accuracy():
     # forget=1e-6 as its "safe" Example05 setting.
     k = min(6, len(lam_a), len(lam_b))
     np.testing.assert_allclose(lam_b[:k], lam_a[:k], rtol=8e-2)
+
+
+def test_draw_dd_matches_projected_synthesis():
+    """Direct two-level-basis draw == synthesize(projected Psi) (pll_draw
+    parity with the projected path)."""
+    import jax
+    from krylov_spdes_tpu.kl import dd as kldd
+    from krylov_spdes_tpu.kl.synthesis import set_field
+    mesh = get_mesh(400, seed=9)
+    ndom = 4
+    epart, _ = mesh_partition(mesh.cells, mesh.points, ndom,
+                              mesh.cell_neighbors)
+    cov = make_cov("sexp", 1.0, 0.4)
+    sub = kldd.set_kl_subdomains(mesh.cells, mesh.points, epart, ndom)
+    lam_d, phi_d, m_d, energy = kldd.solve_local_kls(sub, mesh.points, cov,
+                                                     15)
+    K = kldd.assemble_reduced_covariance(sub, mesh.points, cov, phi_d)
+    lam, psi, Vr = kldd.solve_global_reduced_kl(mesh.nnode, K, energy, sub,
+                                                phi_d, return_reduced=True)
+    key = jax.random.PRNGKey(3)
+    xi, g = kldd.draw_dd(sub, lam, Vr, phi_d, key)
+    g_ref = set_field(jnp.asarray(lam), jnp.asarray(psi), xi)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-9,
+                               atol=1e-11)
