@@ -41,3 +41,51 @@ def test_effective_rtol():
     assert effective_rtol(jnp.float64) == 1e-7
     assert effective_rtol(jnp.float32) == 1e-5
     assert effective_rtol(jnp.float32, 1e-8) == 1e-8
+
+
+def test_chain_step_matches_host_loop():
+    """The fused on-device chain step reproduces the host-loop pipeline
+    (sampler draw + assembly + eigdefpcg) iteration-for-iteration."""
+    from krylov_spdes_tpu.fem.assembly import prepare_elliptic_assembly, \
+        do_isotropic_elliptic_assembly
+    from krylov_spdes_tpu.samplers import samplers as smod
+    from krylov_spdes_tpu.solvers.eigcg import eigpcg
+    from krylov_spdes_tpu.solvers.defcg import eigdefpcg
+    from krylov_spdes_tpu.chains import make_chain_step, seed_chain
+    from krylov_spdes_tpu.ops.stencil import to_free_vector
+
+    mesh = get_mesh(600, seed=2)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    plan = prepare_stencil_assembly(
+        mesh, maps, lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+    asm = prepare_elliptic_assembly(
+        mesh.cells, mesh.points, maps,
+        lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+    cov = make_cov("sexp", 1.0, 0.4)
+    M = get_mass_matrix(mesh.cells, mesh.points)
+    lam, psi = solve_kl(mesh.cells, mesh.points, cov, 12, M, relative=0.99)
+    nvec, spdim = 8, 20
+
+    # fused path
+    s0 = prepare_mcmc_sampler(lam, psi, key=11)
+    W, it_seed = seed_chain(plan, s0, M=None, nvec=nvec, spdim=spdim,
+                            maxit=900)
+    step = make_chain_step(plan, M=None, nvec=nvec, spdim=spdim, maxit=900)
+    s1, W1, it1, cnt1 = step(s0, W)
+
+    # host-loop path (same PRNG stream)
+    s0b = prepare_mcmc_sampler(lam, psi, key=11)
+    A, b = do_isotropic_elliptic_assembly(asm, jnp.exp(s0b.g))
+    r_seed = eigpcg(A, b, nvec=nvec, spdim=spdim, maxit=900)
+    s1b, cnt1b = smod.draw(s0b)
+    A, b = do_isotropic_elliptic_assembly(asm, jnp.exp(s1b.g))
+    W_free = np.asarray(W)[maps.free_l2g, :]
+    r1 = eigdefpcg(A, b, W=W_free, spdim=spdim, maxit=900)
+
+    assert int(cnt1) == int(cnt1b)
+    np.testing.assert_allclose(np.asarray(s1.xi), np.asarray(s1b.xi))
+    # iteration counts agree within reduction-order noise (full-grid vs
+    # free-dof vectors)
+    assert abs(int(it_seed) - int(r_seed.it)) <= 2, (int(it_seed),
+                                                     int(r_seed.it))
+    assert abs(int(it1) - int(r1.it)) <= 3, (int(it1), int(r1.it))
