@@ -261,10 +261,18 @@ def draw_dd(sub: KLSubdomains, lam, V_red, phi_d, key):
 
 def compute_dd_kl(cells, points, epart, ndom, cov, nev: int,
                   relative_local: float = 0.99, relative_global: float = 0.99,
-                  forget: float = -1.0, verbose: bool = False):
+                  forget: float = -1.0, verbose: bool = False,
+                  device_mesh=None):
     """End-to-end two-level KL (orchestrates the reference pipeline of
-    Example04; the distributed Example05 path shards the same stages)."""
+    Example04). With `device_mesh` (a Mesh with a 'dom' axis), the batched
+    local eigensolves — the dominant stage — shard over devices: the
+    TPU-native `pll_compute_kl` (Example05 / C15), with XLA scheduling in
+    place of the reference's dynamic master-worker scheduler."""
     sub = set_kl_subdomains(cells, points, epart, ndom)
+    if device_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sub.M_local = jax.device_put(
+            sub.M_local, NamedSharding(device_mesh, P("dom")))
     lam_d, phi_d, m_d, energy = solve_local_kls(sub, points, cov, nev,
                                                 relative=relative_local,
                                                 verbose=verbose)

@@ -77,3 +77,17 @@ def test_spmv_views_agree():
     y_ref = A.to_scipy() @ x
     np.testing.assert_allclose(y_ell, y_ref, rtol=1e-13)
     np.testing.assert_allclose(y_csr, y_ref, rtol=1e-13)
+
+
+def test_spmv_multi_rhs():
+    from krylov_spdes_tpu.ops.sparse import ell_spmv
+    import jax.numpy as jnp
+    mesh = get_mesh(150, jitter=0.2, seed=4)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    asm = prepare_elliptic_assembly(mesh.cells, mesh.points, maps, fsrc, uex)
+    rng = np.random.default_rng(5)
+    A, _ = do_isotropic_elliptic_assembly(asm, np.exp(rng.normal(size=mesh.nnode)))
+    X = rng.normal(size=(maps.n_free, 7))
+    Y = np.asarray(ell_spmv(A, jnp.asarray(X)))
+    Y_ref = A.to_scipy() @ X
+    np.testing.assert_allclose(Y, Y_ref, rtol=1e-12)

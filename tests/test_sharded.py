@@ -57,3 +57,24 @@ def test_sharded_cg_solve(problem):
     assert abs(int(r.it) - int(r_ref.it)) <= 1
     np.testing.assert_allclose(np.asarray(r.x), np.asarray(r_ref.x),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_compute_dd_kl_sharded_matches_local():
+    """C15: dom-sharded two-level KL == unsharded result."""
+    from jax.sharding import Mesh
+    from krylov_spdes_tpu.fem.mesh import get_mesh
+    from krylov_spdes_tpu.fem.partition import mesh_partition
+    from krylov_spdes_tpu.kl.covariance import make_cov
+    from krylov_spdes_tpu.kl.dd import compute_dd_kl
+    mesh = get_mesh(500, seed=3)
+    ndom = 8
+    epart, _ = mesh_partition(mesh.cells, mesh.points, ndom,
+                              mesh.cell_neighbors)
+    cov = make_cov("sexp", 1.0, 0.4)
+    lam_a, psi_a = compute_dd_kl(mesh.cells, mesh.points, epart, ndom, cov,
+                                 nev=15)
+    dev_mesh = Mesh(np.asarray(jax.devices()), ("dom",))
+    lam_b, psi_b = compute_dd_kl(mesh.cells, mesh.points, epart, ndom, cov,
+                                 nev=15, device_mesh=dev_mesh)
+    k = min(len(lam_a), len(lam_b))
+    np.testing.assert_allclose(lam_b[:k], lam_a[:k], rtol=1e-9)
