@@ -32,8 +32,13 @@ def _transform(X, lam, distance):
         s = jnp.sqrt(lam)
         return X * s, lambda C: C / s
     if distance == "L2-10%":
-        csum = jnp.cumsum(lam) / jnp.sum(lam)
-        k = int(np.searchsorted(np.asarray(csum), 0.1) + 1)
+        # reference thresholds the RAW cumsum at 0.1 (Example12:45,
+        # `findfirst(x -> x >= 0.1, cumsum(Λ))`) — for the unit square with
+        # σ²=1 the total eigenvalue mass ≈ 1, so this is "the modes carrying
+        # the first 10% of variance"; matched exactly
+        csum = np.cumsum(np.asarray(lam))
+        k = int(np.searchsorted(csum, 0.1) + 1)
+        k = min(k, len(csum))
         s = jnp.sqrt(lam[:k])
         return X[:, :k] * s, lambda C: C / s
     if distance in ("cdf", "cdf-full"):

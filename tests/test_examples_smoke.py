@@ -48,3 +48,28 @@ def test_example_runs(script, args):
             cwd=d, env=env, capture_output=True, text=True, timeout=300)
         assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
         assert "saved" in r.stdout
+
+
+MORE_CASES = [
+    ("ex04_kl_dd.py", ["--nnode", "400", "--ndom", "4", "--nev", "10",
+                       "--L", "0.4"]),
+    ("ex06_pcg_stochastic.py", ["--nnode", "400", "--ndom", "4",
+                                "--nreals", "1", "--strategies", "bj",
+                                "--L", "0.4"]),
+    ("ex14_shepard.py", ["--nnode", "300", "--nreals", "1", "--P", "3",
+                         "--L", "0.4"]),
+    ("ex15_sampling_overcost.py", ["--nnode", "300", "--nreals", "1",
+                                   "--L", "0.4"]),
+    ("ex16_mcmc_realizations.py", ["--nnode", "300", "--lengths", "0,2",
+                                   "--L", "0.4"]),
+    ("ex19_truncated_preconds.py", ["--nnode", "300", "--ks", "0,2",
+                                    "--L", "0.4"]),
+    ("ex20_quantized_precond.py", ["--nnode", "300", "--nreals", "1",
+                                   "--P", "3", "--L", "0.4"]),
+]
+
+
+@pytest.mark.parametrize("script,args", MORE_CASES,
+                         ids=[c[0] for c in MORE_CASES])
+def test_more_examples(script, args):
+    test_example_runs(script, args)
