@@ -108,3 +108,46 @@ def test_lobpcg_matches_dense():
     s = np.linalg.svd(psi_d[:, :k].T @ Md @ psi_l[:, :k],
                       compute_uv=False)
     assert s.min() > 1 - 1e-6, s
+
+
+def test_identity_vs_reference_two_pass_quadrature():
+    """Independent validation of the C = M Ĉ M identity: literal transcription
+    of the reference's two-pass node×element quadrature
+    (Fem/KarhunenLoeve.jl:27-107) on a tiny mesh."""
+    mesh = get_mesh(40, jitter=0.25, seed=7)
+    cov = make_cov("sexp", sig2=1.3, L=0.45)
+    pts = mesh.points
+    cells = mesh.cells
+    nnode, nel = mesh.nnode, mesh.nel
+
+    def cv(x1, y1, x2, y2):
+        import numpy as _np
+        return 1.3 * _np.exp(-((x1 - x2) ** 2 + (y1 - y2) ** 2) / 0.45 ** 2)
+
+    R = np.zeros((nnode, nnode))
+    C_ref = np.zeros((nnode, nnode))
+    area = np.zeros(nel)
+    for j in range(nnode):
+        xj, yj = pts[j]
+        for e in range(nel):
+            v = cells[e]
+            x, y = pts[v, 0], pts[v, 1]
+            dx = np.array([x[2] - x[1], x[0] - x[2], x[1] - x[0]])
+            dy = np.array([y[1] - y[2], y[2] - y[0], y[0] - y[1]])
+            area[e] = (dx[2] * dy[1] - dx[1] * dy[2]) / 2.0
+            for r in range(3):
+                s, t = (r + 1) % 3, (r + 2) % 3
+                R[v[r], j] += (2 * cv(x[r], y[r], xj, yj)
+                               + cv(x[s], y[s], xj, yj)
+                               + cv(x[t], y[t], xj, yj)) * area[e] / 12.0
+    for i in range(nnode):
+        for e in range(nel):
+            v = cells[e]
+            for r in range(3):
+                s, t = (r + 1) % 3, (r + 2) % 3
+                C_ref[i, v[r]] += (2 * R[i, v[r]] + R[i, v[s]]
+                                   + R[i, v[t]]) * area[e] / 12.0
+
+    M = get_mass_matrix(mesh.cells, mesh.points)
+    C = np.asarray(mass_covariance_operator(M, mesh.points, cov))
+    np.testing.assert_allclose(C, C_ref, rtol=1e-11, atol=1e-13)
