@@ -60,6 +60,9 @@ def set_subdomains(cells: np.ndarray, epart: np.ndarray,
     nel = cells.shape[0]
     if ndom is None:
         ndom = int(epart.max()) + 1
+    if ndom < 2:
+        raise ValueError("domain decomposition needs ndom >= 2 "
+                         "(a single subdomain has no interface)")
     is_dir = maps.is_dirichlet
 
     # parts touching each node

@@ -73,3 +73,30 @@ MORE_CASES = [
                          ids=[c[0] for c in MORE_CASES])
 def test_more_examples(script, args):
     test_example_runs(script, args)
+
+
+def test_ex05_distributed_kl_smoke():
+    with tempfile.TemporaryDirectory() as d:
+        env = dict(os.environ)
+        env["PYTHONPATH"] = EXDIR + os.pathsep + env.get("PYTHONPATH", "")
+        env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + \
+            " --xla_force_host_platform_device_count=8"
+        r = subprocess.run(
+            [sys.executable, os.path.join(EXDIR, "ex05_kl_dd_distributed.py"),
+             "--cpu", "--nnode", "400", "--ndom", "8", "--nev", "8",
+             "--L", "0.4"],
+            cwd=d, env=env, capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+
+
+def test_ex08_sharded_dd_smoke():
+    with tempfile.TemporaryDirectory() as d:
+        env = dict(os.environ)
+        env["PYTHONPATH"] = EXDIR + os.pathsep + env.get("PYTHONPATH", "")
+        env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + \
+            " --xla_force_host_platform_device_count=8"
+        r = subprocess.run(
+            [sys.executable, os.path.join(EXDIR, "ex08_dd_parallel.py"),
+             "--cpu", "--nnode", "500", "--ndom", "8"],
+            cwd=d, env=env, capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
