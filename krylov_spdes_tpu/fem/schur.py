@@ -167,6 +167,21 @@ def merge_subdomain_solutions(part: DDPartition, maps, points, u_exact,
     return u
 
 
+def do_condensed_assembly(plan: DDAssemblyPlan, part: DDPartition,
+                          coeff_nodes, assembled: bool = True):
+    """One-call Schur condensation for a coefficient realization: refill the
+    DD blocks, factorize interiors, condense the RHS, and return
+    (S_operator, b_schur) — `do_condensed_isotropic_elliptic_assembly`
+    (reference :887-1010). With assembled=True the local Schur matrices are
+    formed explicitly (the reference's Example07 default)."""
+    from .dd import assemble_dd_values
+    A_II, A_IG, A_GGd, b_I, b_G = assemble_dd_values(plan, coeff_nodes)
+    S = prepare_schur_operator(plan, part, A_II, A_IG, A_GGd)
+    b_s = get_schur_rhs(S, b_I, b_G)
+    op = assembled_schur_operator(S) if assembled else S
+    return op, b_s, S, b_I
+
+
 # ---------------------------------------------------------------------------
 # Neumann-Neumann preconditioner (reference :1111-1403)
 # ---------------------------------------------------------------------------

@@ -179,3 +179,17 @@ def test_legacy_apply_dirichlet():
         assert A2[g, g] == 1.0
         assert np.count_nonzero(A2[g]) == 1
         assert b2[g] == mesh.points[g, 0] + mesh.points[g, 1]
+
+
+def test_do_condensed_assembly():
+    from krylov_spdes_tpu.fem.schur import do_condensed_assembly
+    mesh, maps, epart, part, plan, asm, coeff = build(nnode=500, ndom=5,
+                                                      seed=31)
+    op, b_s, S, b_I = do_condensed_assembly(plan, part, jnp.asarray(coeff))
+    r = cg(op, b_s, rtol=1e-10)
+    u_I = get_subdomain_solutions(S, r.x, b_I)
+    u = merge_subdomain_solutions(part, maps, mesh.points, uex, r.x, u_I)
+    A, b = do_isotropic_elliptic_assembly(asm, coeff)
+    u_ref = np.zeros(mesh.nnode)
+    u_ref[maps.free_l2g] = np.asarray(cg(A, b, rtol=1e-10).x)
+    np.testing.assert_allclose(u, u_ref, rtol=1e-6, atol=1e-9)
