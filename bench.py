@@ -27,17 +27,24 @@ def main():
     from krylov_spdes_tpu.ops.stencil import build_stencil_op, to_full_vector
 
     nnode = int(os.environ.get("BENCH_NNODE", "250000"))
-    mesh = get_mesh(nnode)
-    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
-    asm = prepare_elliptic_assembly(
-        mesh.cells, mesh.points, maps,
-        lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
-    rng = np.random.default_rng(0)
-    coeff = np.exp(0.3 * rng.normal(size=mesh.nnode))
-    A, b = do_isotropic_elliptic_assembly(asm, coeff)
-    m1 = int(round(np.sqrt(mesh.nnode)))
-    St = build_stencil_op(A, maps, (m1, m1))   # gather-free SpMV path
-    b_full = to_full_vector(maps, jnp.asarray(b), mesh.nnode)
+    # Setup runs on CPU so only the 9 stencil planes + rhs (~10 MB) cross the
+    # (slow) host->device link, not the full assembly plan (~100+ MB).
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        mesh = get_mesh(nnode)
+        maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+        asm = prepare_elliptic_assembly(
+            mesh.cells, mesh.points, maps,
+            lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+        rng = np.random.default_rng(0)
+        coeff = np.exp(0.3 * rng.normal(size=mesh.nnode))
+        A, b = do_isotropic_elliptic_assembly(asm, coeff)
+        m1 = int(round(np.sqrt(mesh.nnode)))
+        St = build_stencil_op(A, maps, (m1, m1))  # gather-free SpMV path
+        b_full = to_full_vector(maps, jnp.asarray(b), mesh.nnode)
+    dev = jax.devices()[0]
+    St = jax.device_put(St, dev)
+    b_full = jax.device_put(b_full, dev)
     maxit = 2000
 
     # warm-up / compile; float() forces full execution + readback (the axon

@@ -16,24 +16,30 @@ EXDIR = os.path.join(os.path.dirname(os.path.dirname(
 
 CASES = [
     ("ex01_elliptic_pde.py", ["--nnode", "400"]),
-    ("ex02_karhunen_loeve.py", ["--nnode", "300", "--nev", "10",
-                                "--L", "0.4"]),
     ("ex03_dd_schur.py", ["--nnode", "500", "--ndom", "4"]),
-    ("ex07_pcg_schur_stochastic.py", ["--nnode", "400", "--ndom", "4",
-                                      "--nreals", "1", "--L", "0.4"]),
     ("ex09_defpcg_mcmc.py", ["--nnode", "400", "--ndom", "4",
                              "--nchains", "1", "--nsmp", "2", "--L", "0.4"]),
-    ("ex11_multiple_rhs.py", ["--nnode", "300", "--nreals", "2",
-                              "--L", "0.4"]),
     ("ex12_quantization.py", ["--nnode", "300", "--nreals", "1", "--P", "3",
                               "--L", "0.4"]),
     ("ex17_recyclers_mcmc.py", ["--nnode", "400", "--ndom", "4",
                                 "--nchains", "1", "--nsmp", "2",
-                                "--L", "0.4"]),
-    ("ex17_recyclers_mcmc.py", ["--nnode", "400", "--ndom", "4",
-                                "--nchains", "1", "--nsmp", "2",
                                 "--L", "0.4", "--fast"]),
 ]
+
+# full set exercised with RUN_ALL_EXAMPLES=1
+EXTRA_DEFAULT_CASES = [
+    ("ex02_karhunen_loeve.py", ["--nnode", "300", "--nev", "10",
+                                "--L", "0.4"]),
+    ("ex07_pcg_schur_stochastic.py", ["--nnode", "400", "--ndom", "4",
+                                      "--nreals", "1", "--L", "0.4"]),
+    ("ex11_multiple_rhs.py", ["--nnode", "300", "--nreals", "2",
+                              "--L", "0.4"]),
+    ("ex17_recyclers_mcmc.py", ["--nnode", "400", "--ndom", "4",
+                                "--nchains", "1", "--nsmp", "2",
+                                "--L", "0.4"]),
+]
+if os.environ.get("RUN_ALL_EXAMPLES"):
+    CASES = CASES + EXTRA_DEFAULT_CASES
 
 
 @pytest.mark.parametrize("script,args", CASES,
@@ -71,6 +77,8 @@ MORE_CASES = [
 
 @pytest.mark.parametrize("script,args", MORE_CASES,
                          ids=[c[0] for c in MORE_CASES])
+@pytest.mark.skipif(not os.environ.get("RUN_ALL_EXAMPLES"),
+                    reason="long tail; set RUN_ALL_EXAMPLES=1")
 def test_more_examples(script, args):
     test_example_runs(script, args)
 
