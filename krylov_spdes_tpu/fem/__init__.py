@@ -1,0 +1,21 @@
+"""FEM layer exports (mirrors the reference `Fem` module surface,
+/root/reference/Fem/Fem.jl:21-87)."""
+
+from .mesh import (get_mesh, save_mesh, load_mesh, get_total_area,  # noqa
+                   element_geometry, TriMesh)
+from .partition import (mesh_partition, save_partition,  # noqa
+                        load_partition)
+from .bc import (get_dirichlet_inds, append_bc, apply_dirichlet,  # noqa
+                 DirichletMaps)
+from .assembly import (prepare_elliptic_assembly,  # noqa
+                       do_isotropic_elliptic_assembly, assemble_values,
+                       get_mass_matrix, EllipticAssembly)
+from .dd import (set_subdomains, prepare_dd_assembly, assemble_dd_values,  # noqa
+                 domain_decompose_rhs, get_partition, DDPartition)
+from .schur import (prepare_schur_operator, schur_matvec, get_schur_rhs,  # noqa
+                    assemble_local_schurs, assembled_schur_operator,
+                    get_subdomain_solutions, merge_subdomain_solutions,
+                    do_condensed_assembly,
+                    prepare_neumann_neumann_schur_precond, SchurOperator)
+from .stencil_assembly import (prepare_stencil_assembly,  # noqa
+                               stencil_assemble, make_stencil_operator)

@@ -1,0 +1,10 @@
+"""KL layer exports."""
+
+from .covariance import cov_sexp, cov_exp, make_cov  # noqa
+from .single import solve_kl, mass_covariance_operator  # noqa
+from .dd import (set_kl_subdomains, solve_local_kls,  # noqa
+                 assemble_reduced_covariance, solve_global_reduced_kl,
+                 compute_dd_kl, draw_dd)
+from .synthesis import draw, set_field, trim_and_order, get_kl_coordinates  # noqa
+from .helper import suggest_parameters, get_root_filename  # noqa
+from .lobpcg import lobpcg_generalized  # noqa

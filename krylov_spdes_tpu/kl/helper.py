@@ -8,9 +8,10 @@ from __future__ import annotations
 
 def suggest_parameters(nnode: int):
     """(relative_local, relative_global) presets validated by the reference up
-    to 2M DoF / 500 subdomains (KarhunenLoeveDomainDecompositionHelper.jl:12-33)."""
-    if nnode <= 400_000:
-        return 0.9995, 0.995
+    to 2M DoF / 500 subdomains
+    (KarhunenLoeveDomainDecompositionHelper.jl:35-41, exact thresholds)."""
+    if nnode <= 100_000:
+        return 0.9986, 0.995
     return 0.9993, 0.995
 
 

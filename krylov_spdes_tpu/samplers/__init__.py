@@ -1,0 +1,5 @@
+"""Sampler exports."""
+
+from .samplers import (SamplerState, prepare_mc_sampler,  # noqa
+                       prepare_mcmc_sampler, prepare_hybrid_sampler, draw,
+                       set_xi, synthesize)
