@@ -1,0 +1,119 @@
+"""Whole-CG-in-VMEM Pallas kernel (EXPERIMENTAL — measured slower than XLA).
+
+Idea: the 9 stencil planes + CG vectors fit in VMEM below ~200k DoF f32, so
+the entire CG loop can run on-chip with zero per-iteration HBM traffic.
+
+Measured reality on TPU v5e (documented negative result): the ±1-column
+stencil shifts are LANE-misaligned, and Mosaic realigns them with cross-lane
+rotations every iteration — at 65k DoF this kernel runs 92 µs/iteration vs
+66 µs for the XLA `stencil_matvec` CG, and at 250k DoF the working set
+(18.6 MB) exceeds the 16 MB VMEM budget. XLA's fusion of the same stencil is
+already near-optimal (52 Gnnz/s through full solves at 250k), so the XLA path
+(solvers/cg.py over ops/stencil.py) remains production. Kept as the starting
+point for a round-2 attempt with a shift-free layout (pre-shifted p copies /
+lane-aligned W padding).
+
+Semantics match solvers/cg.py exactly (iteration accounting, tolerance,
+Dirichlet identity rows) — verified bit-comparable in interpret mode.
+Returns (x, it, final ||r||).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .stencil import OFFSETS, StencilOp
+
+
+def _matvec_into(planes_ref, dd_ref, xp_ref, H, W):
+    """y = A x from the padded (H+2, W+2) VMEM scratch ref (static slices —
+    Mosaic has no dynamic_slice on values)."""
+    xm = xp_ref[1:H + 1, 1:W + 1]
+    y = (planes_ref[0] + dd_ref[:]) * xm
+    for k, (di, dj) in enumerate(OFFSETS[1:], start=1):
+        y += planes_ref[k] * xp_ref[1 + di:1 + di + H, 1 + dj:1 + dj + W]
+    return y
+
+
+def _cg_kernel(maxit, rtol, planes_ref, dd_ref, b_ref, x_ref, it_ref,
+               res_ref, pp_scr, r_scr, spare_scr):
+    H, W = b_ref.shape
+    dtype = b_ref.dtype
+
+    b = b_ref[:]
+    bnorm2 = jnp.sum(b * b)
+    tol2 = (rtol * rtol) * bnorm2
+
+    # x0 = 0 -> r = b, p = r
+    r_scr[:] = b
+    pp_scr[:] = jnp.zeros((H + 2, W + 2), dtype)
+    pp_scr[1:H + 1, 1:W + 1] = b
+    x_ref[:] = jnp.zeros((H, W), dtype)
+    rTr0 = bnorm2
+
+    def cond(c):
+        it, rTr = c
+        return jnp.logical_and(it < maxit, rTr > tol2)
+
+    def body(c):
+        it, rTr = c
+        Ap = _matvec_into(planes_ref, dd_ref, pp_scr, H, W)
+        p = pp_scr[1:H + 1, 1:W + 1]
+        d = jnp.sum(p * Ap)
+        alpha = rTr / d
+        x_ref[:] = x_ref[:] + alpha * p
+        r = r_scr[:] - alpha * Ap
+        r_scr[:] = r
+        rTr_new = jnp.sum(r * r)
+        beta = rTr_new / rTr
+        pp_scr[1:H + 1, 1:W + 1] = r + beta * p
+        return it + 1, rTr_new
+
+    it, rTr = jax.lax.while_loop(cond, body, (jnp.int32(1), rTr0))
+    it_ref[0, 0] = it
+    res_ref[0, 0] = jnp.sqrt(rTr)
+
+
+@functools.partial(jax.jit, static_argnames=("maxit", "rtol", "interpret"))
+def stencil_cg_pallas(S: StencilOp, b, maxit: int, rtol: float,
+                      interpret: bool = False):
+    """Solve A x = b with the fully VMEM-resident CG kernel.
+
+    Returns (x (n,), it, final residual norm). Requires the working set
+    (~(9 planes + 5 vectors) · H · W · 4 B) to fit in VMEM (~16 MB/core):
+    up to roughly 280k DoF in f32."""
+    H, W = S.H, S.W
+    dtype = b.dtype
+    b2 = b.reshape(H, W)
+
+    kernel = functools.partial(_cg_kernel, maxit, float(rtol))
+    x, it, res = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # planes
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # dir_diag
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((H, W), dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((H + 2, W + 2), dtype),   # padded p
+            pltpu.VMEM((H, W), dtype),           # r
+            pltpu.VMEM((1, 128), dtype),         # spare (alignment filler)
+        ],
+        interpret=interpret,
+    )(S.planes, S.dir_diag, b2)
+    return x.reshape(-1), it[0, 0], res[0, 0]

@@ -92,3 +92,19 @@ def test_pallas_kernel_parity_interpret():
     y_ref = stencil_matvec(St, x)
     y_pal = stencil_matvec_pallas(St, x, interpret=True)
     np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_pal))
+
+
+def test_pallas_whole_cg_parity_interpret():
+    """Experimental in-VMEM CG kernel: exact iteration parity with the XLA
+    CG (interpret mode)."""
+    from krylov_spdes_tpu.ops.pallas_cg import stencil_cg_pallas
+    mesh, maps, A, b, St = _setup(nn=900, jitter=0.2, seed=13)
+    from krylov_spdes_tpu.ops.stencil import to_full_vector
+    b_full = to_full_vector(maps, jnp.asarray(b), mesh.nnode)
+    x, it, res = stencil_cg_pallas(St, b_full, maxit=1500, rtol=1e-7,
+                                   interpret=True)
+    r_ref = cg(St, b_full, maxit=1500)
+    # squared-tolerance comparison + different reduction trees: ±1 iteration
+    assert abs(int(it) - int(r_ref.it)) <= 1, (int(it), int(r_ref.it))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(r_ref.x),
+                               rtol=1e-6, atol=1e-9)
