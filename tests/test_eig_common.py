@@ -1,0 +1,89 @@
+"""Direct unit tests of the BIG-shift masked restart machinery against
+dynamic-shape NumPy, including rank-deficient and partial-window cases."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from krylov_spdes_tpu.solvers.eig_common import (
+    thick_restart_basis, thick_restart_basis_gen, ritz_basis_gen)
+from oracle_recycling import _restart_basis
+
+
+def _tridiag(spdim, seed, scale=1.0):
+    rng = np.random.default_rng(seed)
+    d = rng.uniform(1.0, 3.0, spdim) * scale
+    e = rng.uniform(0.1, 0.5, spdim - 1) * scale
+    return np.diag(d) + np.diag(e, 1) + np.diag(e, -1)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_thick_restart_matches_oracle_full(seed):
+    spdim, nvec = 16, 5
+    Tm = _tridiag(spdim, seed)
+    vals_o, QZ_o, nev_o = _restart_basis(Tm, nvec)
+    vals_j, QZ_j, nev_j = thick_restart_basis(jnp.asarray(Tm), nvec,
+                                              jnp.int32(spdim))
+    assert int(nev_j) == nev_o
+    np.testing.assert_allclose(np.asarray(vals_j)[:nev_o], vals_o[:nev_o],
+                               rtol=1e-9)
+    # columns may differ by sign; compare subspaces through Tm-projection
+    A = Tm @ QZ_o[:, :nev_o]
+    B = Tm @ np.asarray(QZ_j)[:, :nev_o]
+    s = np.linalg.svd(np.linalg.qr(A)[0].T @ np.linalg.qr(B)[0],
+                      compute_uv=False)
+    assert s.min() > 1 - 1e-9
+    # masked tail is exactly zero
+    assert np.all(np.asarray(QZ_j)[:, nev_o:] == 0)
+    assert np.all(np.asarray(vals_j)[nev_o:] == 0)
+
+
+def test_thick_restart_rank_deficient():
+    """Degenerate Tm with repeated eigenvalues -> Y loses rank; nev < 2nvec
+    must be detected identically to numpy's matrix_rank convention."""
+    spdim, nvec = 12, 4
+    # strongly degenerate: identity block makes both eigbases overlap
+    Tm = np.eye(spdim)
+    Tm[-1, -1] = 5.0
+    vals_o, QZ_o, nev_o = _restart_basis(Tm, nvec)
+    vals_j, QZ_j, nev_j = thick_restart_basis(jnp.asarray(Tm), nvec,
+                                              jnp.int32(spdim))
+    assert int(nev_j) == nev_o
+    assert nev_o < 2 * nvec
+
+
+def test_partial_window_masking():
+    """active_dim < spdim: the masked computation must equal the dense
+    computation on the leading block."""
+    spdim, nvec, m = 16, 4, 11
+    Tm_small = _tridiag(m, 3)
+    Tm_embedded = np.zeros((spdim, spdim))
+    Tm_embedded[:m, :m] = Tm_small
+    # garbage outside the active block must not leak
+    Tm_embedded[m:, m:] = 99.0
+    vals_o, QZ_o, nev_o = _restart_basis(Tm_small, nvec)
+    vals_j, QZ_j, nev_j = thick_restart_basis(jnp.asarray(Tm_embedded), nvec,
+                                              jnp.int32(m))
+    assert int(nev_j) == nev_o
+    # BIG-shift masking perturbs conditioning at the eps*BIG level
+    np.testing.assert_allclose(np.asarray(vals_j)[:nev_o], vals_o[:nev_o],
+                               rtol=1e-6)
+    # rows beyond the active block are zero
+    assert np.abs(np.asarray(QZ_j)[m:, :]).max() == 0
+
+
+def test_generalized_ritz_matches_scipy():
+    from scipy.linalg import eigh
+    spdim, nvec, m = 14, 4, 14
+    rng = np.random.default_rng(5)
+    Q = np.linalg.qr(rng.normal(size=(spdim, spdim)))[0]
+    S = Q @ np.diag(rng.uniform(0.5, 4.0, spdim)) @ Q.T
+    T = np.eye(spdim) + 0.1 * _tridiag(spdim, 6, scale=0.5)
+    w_ref, v_ref = eigh(S, T)
+    coefs = np.asarray(ritz_basis_gen(jnp.asarray(S), jnp.asarray(T), nvec,
+                                      jnp.int32(spdim)))
+    # spans of the least-nvec generalized eigvecs agree
+    A = np.linalg.qr(v_ref[:, :nvec])[0]
+    B = np.linalg.qr(coefs)[0]
+    s = np.linalg.svd(A.T @ B, compute_uv=False)
+    assert s.min() > 1 - 1e-9
