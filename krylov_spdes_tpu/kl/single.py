@@ -68,8 +68,15 @@ def solve_kl(cells, points, cov, nev: int, M: SparseOp,
     method: "dense" (Cholesky+eigh, O(n³)), "lobpcg" (O(n²·nev)/iter —
     the ARPACK-like iterative path), or "auto" (lobpcg when nev ≪ n).
     """
+    n = M.n_rows
+    if n > 40_000:
+        raise ValueError(
+            f"solve_kl forms the dense n x n covariance operator "
+            f"({n}^2 entries = {n * n * 8 / 1e9:.0f} GB in f64) — like the "
+            f"reference's single-domain KL (O(nnode^2) memory, "
+            f"KarhunenLoeve.jl:33-34) it is meant for study sizes. Use the "
+            f"two-level kl.dd.compute_dd_kl for large meshes.")
     C = mass_covariance_operator(M, points, cov)
-    n = C.shape[0]
     if method == "auto":
         method = "lobpcg" if (n > 1500 and nev < n // 8) else "dense"
     if method == "lobpcg":
