@@ -7,5 +7,7 @@ Schur-complement domain decomposition, built TPU-first.
 """
 
 from . import config as _config  # noqa: F401
+from . import fem, kl, ops, parallel, precond, quantization  # noqa: F401
+from . import samplers, solvers, utils, chains  # noqa: F401
 
 __version__ = "0.1.0"
