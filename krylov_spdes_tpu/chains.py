@@ -87,15 +87,51 @@ def seed_chain(plan: StencilAssemblyPlan, state: SamplerState, M="jacobi",
     return W, it
 
 
+import dataclasses as _dc
+
+from .samplers.samplers import prepare_mcmc_sampler
+
+
+def prepare_chain_states(lam, psi, nchains: int, base_key: int = 0,
+                         kind: str = "mcmc"):
+    """Batched sampler states SHARING one copy of the KL basis.
+
+    `jax.vmap(prepare_mcmc_sampler)` would replicate Ψ per chain (nchains ×
+    nnode × m — 100 MB at 4 chains/250k/25 modes); here only (ξ, g, key)
+    carry the chain axis."""
+    proto = prepare_mcmc_sampler(lam, psi, key=base_key) if kind == "mcmc" \
+        else None
+    assert kind == "mcmc"
+    keys = jax.vmap(jax.random.PRNGKey)(
+        jnp.arange(base_key, base_key + nchains, dtype=jnp.uint32))
+
+    def init(key):
+        key, sub = jax.random.split(key)
+        xi = jax.random.normal(sub, (proto.m,), proto.psi.dtype)
+        return xi, proto.psi @ (proto.sqrt_lam * xi), key
+
+    xi, g, keys = jax.vmap(init)(keys)
+    return _dc.replace(proto, xi=xi, g=g, key=keys)
+
+
+def chain_in_axes(states: SamplerState):
+    """vmap in_axes spec: chain axis on (ξ, g, key) only; basis shared."""
+    return _dc.replace(states, xi=0, g=0, key=0, sqrt_lam=None, psi=None)
+
+
 def run_chains(plan: StencilAssemblyPlan, states, nsmp: int, M="jacobi",
                nvec: int = 20, spdim: int = 61, maxit: int = 500):
-    """Batched multi-chain driver: states is a vmapped SamplerState (leading
-    chain axis). Returns (final states, iteration table (nchains, nsmp))."""
+    """Batched multi-chain driver. `states` may batch everything (a vmapped
+    prepare) or share the basis (prepare_chain_states); the axes spec adapts.
+    Returns (final states, iteration table (nchains, nsmp))."""
     step = make_chain_step(plan, M=M, nvec=nvec, spdim=spdim, maxit=maxit)
-    vstep = jax.jit(jax.vmap(step))
+    shared = states.psi.ndim == 2          # basis not batched
+    axes = chain_in_axes(states) if shared else 0
+    out_axes = (axes, 0, 0, 0) if shared else (0, 0, 0, 0)
+    vstep = jax.jit(jax.vmap(step, in_axes=(axes, 0), out_axes=out_axes))
     vseed = jax.jit(jax.vmap(
         lambda s: seed_chain(plan, s, M=M, nvec=nvec, spdim=spdim,
-                             maxit=maxit)))
+                             maxit=maxit), in_axes=(axes,)))
     W, it0 = vseed(states)
     its = [it0]
     for _ in range(nsmp - 1):

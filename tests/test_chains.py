@@ -89,3 +89,28 @@ def test_chain_step_matches_host_loop():
     assert abs(int(it_seed) - int(r_seed.it)) <= 2, (int(it_seed),
                                                      int(r_seed.it))
     assert abs(int(it1) - int(r1.it)) <= 3, (int(it1), int(r1.it))
+
+
+def test_shared_basis_chains_match_replicated():
+    """prepare_chain_states (one shared Psi copy) produces identical chains
+    to the naive vmapped prepare (replicated Psi)."""
+    import jax
+    from krylov_spdes_tpu.chains import prepare_chain_states, run_chains
+    mesh = get_mesh(400, seed=4)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    plan = prepare_stencil_assembly(
+        mesh, maps, lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+    cov = make_cov("sexp", 1.0, 0.4)
+    M = get_mass_matrix(mesh.cells, mesh.points)
+    lam, psi = solve_kl(mesh.cells, mesh.points, cov, 10, M, relative=0.99)
+
+    shared = prepare_chain_states(lam, psi, nchains=3, base_key=0)
+    assert shared.psi.ndim == 2            # ONE basis copy
+    s_a, its_a = run_chains(plan, shared, nsmp=3, nvec=6, spdim=16,
+                            maxit=800)
+
+    repl = jax.vmap(lambda k: prepare_mcmc_sampler(lam, psi, key=k))(
+        jnp.arange(3, dtype=jnp.uint32))
+    s_b, its_b = run_chains(plan, repl, nsmp=3, nvec=6, spdim=16, maxit=800)
+    np.testing.assert_array_equal(np.asarray(its_a), np.asarray(its_b))
+    np.testing.assert_allclose(np.asarray(s_a.xi), np.asarray(s_b.xi))
