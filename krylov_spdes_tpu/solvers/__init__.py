@@ -12,3 +12,5 @@ from .recyclers import (  # noqa: F401
     trrrdefpcg, trrrpcg, trhrdefpcg, trhrpcg,
     lotrrrdefpcg, lotrrrpcg, lotrhrdefpcg, lotrhrpcg)
 from .recycler_state import Recycler, prepare_recycler  # noqa: F401
+from .block_cg import block_pcg  # noqa: F401
+from .pipelined_cg import pipelined_pcg  # noqa: F401

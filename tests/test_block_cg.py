@@ -32,3 +32,42 @@ def test_block_cg_fewer_iterations_than_single():
     worst_single = max(int(pcg(A, B[:, j], M=M).it) for j in range(k))
     # block sharing of spectral information beats the worst single solve
     assert int(r_blk.it) <= worst_single, (int(r_blk.it), worst_single)
+
+
+def test_pipelined_pcg_matches_pcg():
+    from krylov_spdes_tpu.solvers.pipelined_cg import pipelined_pcg
+    A, b, _, _ = setup_system(700, seed=30)
+    M = jacobi_precond(A)
+    r_std = pcg(A, b, M=M)
+    r_pipe = pipelined_pcg(A, b, M=M)
+    # pipelined recurrences accumulate slightly more rounding
+    assert abs(int(r_pipe.it) - int(r_std.it)) <= max(3, int(r_std.it) // 20)
+    np.testing.assert_allclose(np.asarray(r_pipe.x), np.asarray(r_std.x),
+                               rtol=1e-4, atol=1e-8)
+    assert r_pipe.converged(b)
+
+
+def test_pipelined_pcg_on_sharded_schur():
+    """The intended deployment: pipelined PCG over the shard_map Schur
+    operator (one psum per iteration from the fused reduction)."""
+    import jax
+    from krylov_spdes_tpu.solvers.pipelined_cg import pipelined_pcg
+    from krylov_spdes_tpu.fem.dd import assemble_dd_values
+    from krylov_spdes_tpu.fem.schur import prepare_schur_operator, \
+        get_schur_rhs
+    from krylov_spdes_tpu.parallel.sharding import make_mesh
+    from krylov_spdes_tpu.parallel.schur_sharded import sharded_schur_matvec
+    from test_dd import build
+    import jax.numpy as jnp
+    mesh, maps, epart, part, plan, asm, coeff = build(nnode=600, ndom=16,
+                                                      seed=33)
+    blocks = assemble_dd_values(plan, jnp.asarray(coeff))
+    S = prepare_schur_operator(plan, part, *blocks[:3])
+    dev_mesh = make_mesh(n_dom=8, n_chain=1)
+    op = sharded_schur_matvec(dev_mesh, S)
+    b_s = get_schur_rhs(S, blocks[3], blocks[4])
+    r = pipelined_pcg(op, b_s)
+    r_ref = cg(S, b_s)
+    assert r.converged(np.asarray(b_s))
+    np.testing.assert_allclose(np.asarray(r.x), np.asarray(r_ref.x),
+                               rtol=1e-4, atol=1e-8)
