@@ -7,6 +7,7 @@ masked restart must track the reference's rank-dependent restart.
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from krylov_spdes_tpu.fem.mesh import get_mesh
 from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
@@ -175,3 +176,22 @@ def test_lanczos_ritz_pairs():
     y0 = np.asarray(Y[:, 0])
     true_res = np.linalg.norm(Asp @ y0 - float(vals[0]) * y0)
     assert true_res < 1e-3 * abs(float(vals[0])) + 10 * float(res[0])
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_eigdefpcg_parity_sweep(seed):
+    """Multi-seed hardening of the headline parity claim (eigDef-PCG along a
+    correlated chain vs the dynamic-shape oracle)."""
+    systems = make_systems(n_sys=3, seed=seed)
+    A0, b0 = systems[0]
+    d0 = 1.0 / np.asarray(A0.to_scipy().diagonal())
+    Mj = lambda r: jnp.asarray(d0) * r
+    Mo = lambda r: d0 * r
+    W = eigpcg(A0, b0, M=Mj, nvec=NVEC, spdim=SPDIM).W
+    W_ref = np.asarray(W)
+    for A, b in systems[1:]:
+        r = eigdefpcg(A, b, M=Mj, W=W, spdim=SPDIM)
+        x_ref, it_ref, _, W_ref = orc.eigdefpcg(
+            A.to_scipy(), b, np.zeros_like(b), W_ref, Mo, SPDIM)
+        assert abs(int(r.it) - it_ref) <= 3, (seed, int(r.it), it_ref)
+        W = r.W
