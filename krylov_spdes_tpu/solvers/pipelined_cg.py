@@ -1,14 +1,19 @@
 """Pipelined PCG (Ghysels & Vanroose) — single fused reduction per iteration.
 
 Beyond the reference (which is single-process and never worries about
-reduction latency): on a pod-slice mesh, standard PCG issues TWO dependent
-global reductions per iteration (p·Ap, then r·z after the preconditioner).
-Pipelined PCG reorders the recurrences so both scalars (γ = r·u, δ = w·u)
-are computed TOGETHER from already-available vectors — one fused `psum` per
-iteration on sharded operators — and the matvec/preconditioner application
-overlaps with the reduction. Cost: one extra preconditioner apply per
-iteration and ~3 extra vector updates; numerically equivalent to PCG up to
-rounding (residual replacement not needed at the tolerances used here).
+reduction latency): standard PCG has two DEPENDENT scalar reductions per
+iteration (p·Ap before the update, r·z after the preconditioner); pipelined
+PCG computes both scalars (γ = r·u, δ = w·u) together from already-available
+vectors, so on layouts with SHARDED vectors the iteration has one reduction
+phase, overlappable with the matvec/preconditioner.
+
+Honest note for THIS framework's default Schur layout (interface vectors
+replicated, dom-sharded blocks): the dots are already collective-free — the
+only collective is the matvec's psum — so pipelining buys latency hiding
+rather than fewer collectives (verified by counting all-reduces in the
+compiled HLO). It becomes the right solver when Γ itself is sharded
+(very large interfaces / multi-host). Cost: one extra preconditioner apply
+and ~3 extra vector updates per iteration; equivalent to PCG up to rounding.
 
 Reference: Ghysels & Vanroose, "Hiding global synchronization latency in the
 preconditioned Conjugate Gradient algorithm", Parallel Computing 40 (2014)
