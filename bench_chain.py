@@ -1,0 +1,83 @@
+"""Flagship-chain benchmark: time per MCMC realization (BASELINE.md metric).
+
+Prints one JSON line with the median time of a full chain step — RW-Metropolis
+draw + dense stencil assembly + recycled eigDef-PCG solve — on the default
+backend. Setup runs on CPU so only the assembly factor planes cross the
+host→device link.
+
+  BENCH_NNODE=250000 BENCH_NVEC=16 python bench_chain.py
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    cpu = jax.devices("cpu")[0]
+    nnode = int(os.environ.get("BENCH_NNODE", "250000"))
+    nvec = int(os.environ.get("BENCH_NVEC", "16"))
+    spdim = max(3 * nvec, 2 * nvec + 1)
+
+    with jax.default_device(cpu):
+        from krylov_spdes_tpu.fem.mesh import get_mesh
+        from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+        from krylov_spdes_tpu.fem.stencil_assembly import (
+            prepare_stencil_assembly)
+        from krylov_spdes_tpu.chains import prepare_chain_states
+        mesh = get_mesh(nnode, seed=0)
+        maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+        plan = prepare_stencil_assembly(
+            mesh, maps, lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+        # KL-like spectral basis (single-domain dense KL is O(n^2); the basis
+        # provenance is irrelevant to the solver-side timing)
+        xs, ys = mesh.points[:, 0], mesh.points[:, 1]
+        modes, lams = [], []
+        for a in range(1, 6):
+            for b_ in range(1, 6):
+                modes.append(np.sin(np.pi * a * xs) * np.sin(np.pi * b_ * ys)
+                             * 2)
+                lams.append(np.exp(-0.2 * (a * a + b_ * b_)))
+        psi = np.stack(modes, 1).astype(np.asarray(plan.factors).dtype)
+        lam = np.asarray(lams, psi.dtype)
+        state = prepare_chain_states(lam, psi, nchains=1)
+
+    from krylov_spdes_tpu.chains import make_chain_step, seed_chain
+    import dataclasses as dc
+    # single unbatched chain (the vmapped form compiles slowly on some
+    # backends); drop the chain axis from the prepared state
+    state = dc.replace(state, xi=state.xi[0], g=state.g[0],
+                       key=state.key[0])
+    dev = jax.devices()[0]
+    plan = jax.device_put(plan, dev)
+    state = jax.device_put(state, dev)
+    step = make_chain_step(plan, nvec=nvec, spdim=spdim, maxit=5000)
+
+    W, it0 = seed_chain(plan, state, nvec=nvec, spdim=spdim, maxit=5000)
+    int(it0)
+    state, W, it, cnt = step(state, W)
+    int(it)                                    # compile + readback
+    times, its = [], []
+    for _ in range(3):
+        t0 = time.time()
+        state, W, it, cnt = step(state, W)
+        its.append(int(it))
+        times.append(time.time() - t0)
+    dt = sorted(times)[1]
+    baseline = float(os.environ.get("BENCH_BASELINE", dt))
+    print(json.dumps({
+        "metric": "chain_time_per_realization",
+        "value": round(dt * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round(baseline / dt, 4),
+    }))
+    print(f"# nnode={nnode} nvec={nvec} spdim={spdim} "
+          f"iters_per_sample={its}")
+
+
+if __name__ == "__main__":
+    main()
