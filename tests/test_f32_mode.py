@@ -1,0 +1,83 @@
+"""f32-mode smoke: the TPU runs f32, but the in-process suite forces x64 —
+this subprocess runs the core pipeline without x64 to catch dtype bugs."""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+
+def test_core_pipeline_f32():
+    code = textwrap.dedent("""
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        assert not jax.config.read("jax_enable_x64")
+        import numpy as np, jax.numpy as jnp
+        from krylov_spdes_tpu.fem.mesh import get_mesh
+        from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+        from krylov_spdes_tpu.fem.stencil_assembly import (
+            prepare_stencil_assembly, make_stencil_operator)
+        from krylov_spdes_tpu.fem.assembly import (
+            prepare_elliptic_assembly, do_isotropic_elliptic_assembly)
+        from krylov_spdes_tpu.fem.partition import mesh_partition
+        from krylov_spdes_tpu.fem.dd import (set_subdomains,
+            prepare_dd_assembly, assemble_dd_values)
+        from krylov_spdes_tpu.fem.schur import (prepare_schur_operator,
+            get_schur_rhs, prepare_neumann_neumann_schur_precond)
+        from krylov_spdes_tpu.solvers.cg import cg, pcg
+        from krylov_spdes_tpu.solvers.eigcg import eigpcg
+        from krylov_spdes_tpu.solvers.defcg import eigdefpcg
+        from krylov_spdes_tpu.chains import (prepare_chain_states, run_chains,
+                                             effective_rtol)
+
+        f = lambda x, y: -1.0 + 0.0 * x
+        u = lambda x, y: 0.0 * x
+        mesh = get_mesh(900, seed=0)
+        maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+        rtol = effective_rtol(jnp.float32)
+
+        # monolithic f32
+        asm = prepare_elliptic_assembly(mesh.cells, mesh.points, maps, f, u)
+        A, b = do_isotropic_elliptic_assembly(asm, np.ones(mesh.nnode))
+        assert A.data.dtype == jnp.float32
+        r = cg(A, b, rtol=rtol)
+        assert r.converged(np.asarray(b), rtol=rtol)
+
+        # stencil f32
+        plan = prepare_stencil_assembly(mesh, maps, f, u)
+        St, b_full = make_stencil_operator(plan, np.ones(mesh.nnode))
+        r2 = cg(St, b_full, rtol=rtol)
+        assert abs(int(r2.it) - int(r.it)) <= 3
+
+        # DD + NN f32
+        epart, _ = mesh_partition(mesh.cells, mesh.points, 4,
+                                  mesh.cell_neighbors)
+        part = set_subdomains(mesh.cells, epart, maps, 4)
+        dplan = prepare_dd_assembly(mesh.cells, mesh.points, epart, part,
+                                    maps, f, u)
+        blocks = assemble_dd_values(dplan, jnp.ones(mesh.nnode))
+        S = prepare_schur_operator(dplan, part, *blocks[:3])
+        b_s = get_schur_rhs(S, blocks[3], blocks[4])
+        rs = pcg(S, b_s, M=prepare_neumann_neumann_schur_precond(S),
+                 rtol=rtol)
+        assert rs.converged(np.asarray(b_s), rtol=rtol)
+
+        # recycling + chains f32
+        re = eigpcg(A, b, nvec=6, spdim=16, maxit=1500, rtol=rtol)
+        rd = eigdefpcg(A, b, W=re.W, spdim=16, maxit=1500, rtol=rtol)
+        assert not rd.failed
+        lam = np.asarray([1.0, 0.5, 0.25], np.float32)
+        psi = np.random.default_rng(0).normal(
+            size=(mesh.nnode, 3)).astype(np.float32)
+        states = prepare_chain_states(lam, psi, nchains=2)
+        states, its = run_chains(plan, states, nsmp=2, nvec=4, spdim=10,
+                                 maxit=1500)
+        assert (np.asarray(its) < 1500).all()
+        print("F32-OK")
+    """)
+    env = dict(os.environ)
+    env.pop("JAX_ENABLE_X64", None)
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "F32-OK" in r.stdout
