@@ -120,6 +120,41 @@ def get_mesh(tentative_nnode: int, jitter: float = 0.0, seed: int = 0) -> TriMes
     return TriMesh(cells, points, point_markers, _cell_neighbors(cells))
 
 
+def get_delaunay_mesh(tentative_nnode: int, seed: int = 0) -> TriMesh:
+    """Genuinely unstructured triangulation: Delaunay over quasi-random
+    interior points + regular boundary points. The full Triangle-replacement
+    path — unlike `get_mesh`, the topology is irregular, so downstream code
+    exercises the general CSR/ELL route (no stencil structure)."""
+    rng = np.random.default_rng(seed)
+    nb = max(4, int(np.sqrt(tentative_nnode)))
+    t = np.linspace(0.0, 1.0, nb)
+    boundary = np.concatenate([
+        np.stack([t, np.zeros(nb)], 1), np.stack([t, np.ones(nb)], 1),
+        np.stack([np.zeros(nb), t], 1), np.stack([np.ones(nb), t], 1)])
+    boundary = np.unique(boundary, axis=0)
+    n_int = max(1, tentative_nnode - boundary.shape[0])
+    interior = rng.uniform(0.02, 0.98, size=(n_int, 2))
+    points = np.concatenate([boundary, interior]).astype(np.float64)
+
+    from scipy.spatial import Delaunay
+    tri = Delaunay(points)
+    cells = tri.simplices.astype(np.int32)
+    # enforce counter-clockwise orientation (positive areas)
+    p = points[cells]
+    area2 = ((p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
+             - (p[:, 2, 0] - p[:, 0, 0]) * (p[:, 1, 1] - p[:, 0, 1]))
+    flip = area2 < 0
+    cells[flip, 1], cells[flip, 2] = cells[flip, 2].copy(), \
+        cells[flip, 1].copy()
+
+    on_bnd = ((np.abs(points[:, 0]) < 1e-12)
+              | (np.abs(points[:, 0] - 1) < 1e-12)
+              | (np.abs(points[:, 1]) < 1e-12)
+              | (np.abs(points[:, 1] - 1) < 1e-12))
+    return TriMesh(cells, points, on_bnd.astype(np.int32),
+                   _cell_neighbors(cells))
+
+
 def get_total_area(cells: np.ndarray, points: np.ndarray) -> float:
     """Total mesh area via the shoelace formula (Fem/Mesh.jl:110-144)."""
     p = points[cells]  # (nel, 3, 2)

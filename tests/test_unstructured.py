@@ -1,0 +1,92 @@
+"""True unstructured (Delaunay) meshes through the GENERAL path:
+assembly, CG, KL, DD/Schur — the Triangle-replacement claim, end to end."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from krylov_spdes_tpu.fem.mesh import get_delaunay_mesh, get_total_area
+from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+from krylov_spdes_tpu.fem.partition import mesh_partition
+from krylov_spdes_tpu.fem.assembly import (
+    prepare_elliptic_assembly, do_isotropic_elliptic_assembly,
+    get_mass_matrix)
+from krylov_spdes_tpu.fem.dd import set_subdomains, prepare_dd_assembly, \
+    assemble_dd_values
+from krylov_spdes_tpu.fem.schur import (
+    prepare_schur_operator, get_schur_rhs, get_subdomain_solutions,
+    merge_subdomain_solutions, prepare_neumann_neumann_schur_precond)
+from krylov_spdes_tpu.solvers.cg import cg, pcg
+
+import oracle
+
+
+def fsrc(x, y):
+    return -1.0 + 0.0 * x
+
+
+def uex(x, y):
+    return 0.0 * x
+
+
+def test_delaunay_mesh_wellformed():
+    mesh = get_delaunay_mesh(500, seed=1)
+    assert abs(get_total_area(mesh.cells, mesh.points) - 1.0) < 1e-9
+    # neighbor symmetry
+    nb = mesh.cell_neighbors
+    for e in range(0, mesh.nel, 7):
+        for k in range(3):
+            ne = nb[e, k]
+            if ne >= 0:
+                assert e in nb[ne]
+
+
+def test_delaunay_assembly_matches_oracle():
+    mesh = get_delaunay_mesh(220, seed=2)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    asm = prepare_elliptic_assembly(mesh.cells, mesh.points, maps, fsrc, uex)
+    rng = np.random.default_rng(0)
+    coeff = np.exp(rng.normal(size=mesh.nnode))
+    A, b = do_isotropic_elliptic_assembly(asm, coeff)
+    A_ref, b_ref, _ = oracle.assemble_elliptic(
+        mesh.cells, mesh.points, mesh.point_markers, coeff, fsrc, uex)
+    np.testing.assert_allclose(np.asarray(A.todense()), A_ref.toarray(),
+                               rtol=1e-11, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(b), b_ref, rtol=1e-11, atol=1e-13)
+
+
+def test_delaunay_full_dd_pipeline():
+    mesh = get_delaunay_mesh(700, seed=3)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    ndom = 6
+    epart, _ = mesh_partition(mesh.cells, mesh.points, ndom,
+                              mesh.cell_neighbors)
+    part = set_subdomains(mesh.cells, epart, maps, ndom)
+    plan = prepare_dd_assembly(mesh.cells, mesh.points, epart, part, maps,
+                               fsrc, uex)
+    asm = prepare_elliptic_assembly(mesh.cells, mesh.points, maps, fsrc, uex)
+    rng = np.random.default_rng(1)
+    coeff = np.exp(rng.normal(size=mesh.nnode))
+
+    A, b = do_isotropic_elliptic_assembly(asm, coeff)
+    u_mono = np.zeros(mesh.nnode)
+    u_mono[maps.free_l2g] = np.asarray(cg(A, b, rtol=1e-11).x)
+
+    blocks = assemble_dd_values(plan, jnp.asarray(coeff))
+    S = prepare_schur_operator(plan, part, *blocks[:3])
+    b_s = get_schur_rhs(S, blocks[3], blocks[4])
+    r = pcg(S, b_s, M=prepare_neumann_neumann_schur_precond(S), rtol=1e-11)
+    u_I = get_subdomain_solutions(S, r.x, blocks[3])
+    u = merge_subdomain_solutions(part, maps, mesh.points, uex, r.x, u_I)
+    np.testing.assert_allclose(u, u_mono, rtol=1e-6, atol=1e-8)
+
+
+def test_delaunay_kl():
+    from krylov_spdes_tpu.kl.covariance import make_cov
+    from krylov_spdes_tpu.kl.single import solve_kl
+    mesh = get_delaunay_mesh(400, seed=4)
+    cov = make_cov("sexp", 1.0, 0.5)
+    M = get_mass_matrix(mesh.cells, mesh.points)
+    lam, psi = solve_kl(mesh.cells, mesh.points, cov, 12, M, relative=0.99)
+    Md = np.asarray(M.todense())
+    G = psi.T @ Md @ psi
+    np.testing.assert_allclose(G, np.eye(len(lam)), atol=1e-8)
