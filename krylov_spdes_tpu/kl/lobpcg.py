@@ -25,7 +25,7 @@ def _m_orthonormalize(X, Mfn):
     return Xo
 
 
-@partial(jax.jit, static_argnames=("Cfn", "Mfn", "iters"))
+@partial(jax.jit, static_argnames=("iters",))
 def _lobpcg_impl(Cfn, Mfn, X0, iters):
     n, k = X0.shape
 
