@@ -62,10 +62,17 @@ def make_chain_step(plan: StencilAssemblyPlan, M="jacobi", nvec: int = 20,
         op = StencilOp(planes=planes, dir_diag=plan.dir_diag,
                        slot=jnp.zeros((0,), jnp.int32), H=plan.H, W=plan.W)
         A = Partial(stencil_matvec, op)
-        Mfn = _precond_for(plan, M, planes)
         x0 = jnp.zeros_like(b)
-        x, it, res, Wn = _eigdef_impl(A, Mfn, b, x0, W, nvec, spdim, maxit,
-                                      rtol, True, True)
+        if M == "jacobi":
+            # diagonal M -> fused low-traffic eigDef-PCG body
+            mdiag = 1.0 / (planes[0] + plan.dir_diag).reshape(-1)
+            x, it, res, Wn = _eigdef_impl(A, as_precond_op(None), b, x0, W,
+                                          nvec, spdim, maxit, rtol,
+                                          True, True, mdiag)
+        else:
+            Mfn = _precond_for(plan, M, planes)
+            x, it, res, Wn = _eigdef_impl(A, Mfn, b, x0, W, nvec, spdim,
+                                          maxit, rtol, True, True)
         return state, Wn, it, cnt
 
     return step

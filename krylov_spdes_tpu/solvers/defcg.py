@@ -139,8 +139,20 @@ def defpcg(A, b, x=None, W=None, M=None, maxit: int = 0,
 
 @partial(jax.jit, static_argnames=("nvec", "spdim", "maxit", "precond",
                                    "reorth"))
-def _eigdef_impl(A, M, b, x0, W, nvec, spdim, maxit, rtol, precond, reorth):
-    """Shared eigdefcg (precond=False) / eigdefpcg (precond=True) body."""
+def _eigdef_impl(A, M, b, x0, W, nvec, spdim, maxit, rtol, precond, reorth,
+                 mdiag=None):
+    """Shared eigdefcg (precond=False) / eigdefpcg (precond=True) body.
+
+    When ``mdiag`` is given (and precond & reorth), M is taken to be
+    diag(mdiag) and the four per-iteration (n, nvec) passes — WᵀT r, W cw,
+    WᵀA z, W mu — fuse into one stacked (2 nvec, n) read plus one 2-column
+    product. Uses linearity: z = m⊙(r − W cw), so WᵀA z = (WᵀA·m) r −
+    [(WᵀA·m) W] cw with both factors precomputed. 64 → 48 MB of HBM traffic
+    per iteration at n=250k, nvec=16 (f32), and 2 nvec-wide MXU matmuls
+    instead of nvec-wide ones.
+    """
+    fused = mdiag is not None
+    assert not fused or (precond and reorth)
     dtype = b.dtype
     n = b.shape[0]
     x = x0.astype(dtype)
@@ -148,13 +160,17 @@ def _eigdef_impl(A, M, b, x0, W, nvec, spdim, maxit, rtol, precond, reorth):
     WtAW = WtA @ W
     WtW = W.T @ W
     cho_w = cho_factor(WtW)
+    if fused:
+        WtAM = WtA * mdiag[None, :]
+        K = WtAM @ W
+        G = jnp.concatenate([W.T, WtAM], axis=0)     # (2 nvec, n)
 
     V = jnp.zeros((spdim, n), dtype)
     VtAV = jnp.zeros((spdim, spdim), dtype)
 
     r = b - A(x)
     rTr = jnp.vdot(r, r)
-    z = M(r) if precond else r
+    z = mdiag * r if fused else (M(r) if precond else r)
     rTz = jnp.vdot(r, z)
     mu = cho_solve(cho, WtA @ z)
     p = z - W @ mu
@@ -181,15 +197,28 @@ def _eigdef_impl(A, M, b, x0, W, nvec, spdim, maxit, rtol, precond, reorth):
         alpha = rTz / jnp.vdot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
-        if precond and reorth:
-            # residual re-orthogonalization against W (defcg.jl:407)
-            r = r - W @ cho_solve(cho_w, W.T @ r)
-        rTr = jnp.vdot(r, r)
-        z = M(r) if precond else r
-        rTz_new = jnp.vdot(r, z)
-        beta = rTz_new / rTz
-        mu = cho_solve(cho, WtA @ z)
-        p = beta * p + z - W @ mu
+        if fused:
+            # one read of [Wᵀ; WᵀA·m]: reorth + deflation coefficients
+            U = G @ r
+            cw = cho_solve(cho_w, U[:nvec])          # (defcg.jl:407)
+            mu = cho_solve(cho, U[nvec:] - K @ cw)   # = (WᵀAW)⁻¹ WᵀA z
+            T = W @ jnp.stack([cw, mu], axis=1)      # one 2-column pass
+            r = r - T[:, 0]
+            rTr = jnp.vdot(r, r)
+            z = mdiag * r
+            rTz_new = jnp.vdot(r, z)
+            beta = rTz_new / rTz
+            p = beta * p + z - T[:, 1]
+        else:
+            if precond and reorth:
+                # residual re-orthogonalization against W (defcg.jl:407)
+                r = r - W @ cho_solve(cho_w, W.T @ r)
+            rTr = jnp.vdot(r, r)
+            z = M(r) if precond else r
+            rTz_new = jnp.vdot(r, z)
+            beta = rTz_new / rTz
+            mu = cho_solve(cho, WtA @ z)
+            p = beta * p + z - W @ mu
         res_new = jnp.sqrt(rTr)
         res = c["res"].at[it].set(res_new)
         it = it + 1
@@ -272,9 +301,14 @@ def eigdefcg(A, b, x=None, W=None, spdim: int = 32, maxit: int = 0,
 
 
 def eigdefpcg(A, b, x=None, M=None, W=None, spdim: int = 32, maxit: int = 0,
-              rtol: float | None = None) -> SolveResult:
+              rtol: float | None = None, Mdiag=None) -> SolveResult:
     """eigDef-PCG (defcg.jl:313-473) — the paper's workhorse for MCMC chains
-    of correlated systems (SURVEY.md §3.4)."""
+    of correlated systems (SURVEY.md §3.4).
+
+    Pass the preconditioner's diagonal as ``Mdiag`` (instead of a callable
+    ``M``) to take the fused low-traffic path — numerically equivalent up to
+    rounding (the deflation coefficients are computed via a precomputed
+    (WᵀA·m) W product instead of an explicit WᵀA z)."""
     b = jnp.asarray(b)
     W = jnp.asarray(W)
     nvec = W.shape[1]
@@ -282,6 +316,13 @@ def eigdefpcg(A, b, x=None, M=None, W=None, spdim: int = 32, maxit: int = 0,
     maxit = b.shape[0] if maxit == 0 else maxit
     rtol = config.rtol if rtol is None else rtol
     x0 = jnp.zeros_like(b) if x is None else jnp.asarray(x)
-    xs, it, res, Wn = _eigdef_impl(as_linear_op(A), as_precond_op(M), b, x0,
-                                   W, nvec, spdim, maxit, rtol, True, True)
+    if Mdiag is not None:
+        assert M is None
+        xs, it, res, Wn = _eigdef_impl(
+            as_linear_op(A), as_precond_op(None), b, x0, W, nvec, spdim,
+            maxit, rtol, True, True, jnp.asarray(Mdiag))
+    else:
+        xs, it, res, Wn = _eigdef_impl(as_linear_op(A), as_precond_op(M), b,
+                                       x0, W, nvec, spdim, maxit, rtol,
+                                       True, True)
     return SolveResult(x=xs, it=it, res_norm=res, W=Wn)

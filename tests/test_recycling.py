@@ -178,6 +178,30 @@ def test_lanczos_ritz_pairs():
     assert true_res < 1e-3 * abs(float(vals[0])) + 10 * float(res[0])
 
 
+def test_eigdefpcg_fused_diag_matches_generic():
+    """The Mdiag fused low-traffic body is algebraically the same iteration:
+    along a chain it must match the generic-callable path to rounding."""
+    systems = make_systems(n_sys=3, seed=9)
+    A0, b0 = systems[0]
+    d0 = 1.0 / np.asarray(A0.to_scipy().diagonal())
+    W = eigpcg(A0, b0, M=lambda r: jnp.asarray(d0) * r,
+               nvec=NVEC, spdim=SPDIM).W
+    for A, b in systems[1:]:
+        d = 1.0 / np.asarray(A.to_scipy().diagonal())
+        rg = eigdefpcg(A, b, M=lambda r: jnp.asarray(d) * r, W=W,
+                       spdim=SPDIM)
+        rf = eigdefpcg(A, b, Mdiag=jnp.asarray(d), W=W, spdim=SPDIM)
+        assert abs(int(rf.it) - int(rg.it)) <= 1, (int(rf.it), int(rg.it))
+        np.testing.assert_allclose(np.asarray(rf.x), np.asarray(rg.x),
+                                   rtol=1e-7, atol=1e-10)
+        # harvested bases span the same subspace
+        qa, _ = np.linalg.qr(np.asarray(rf.W))
+        qb, _ = np.linalg.qr(np.asarray(rg.W))
+        s = np.linalg.svd(qa.T @ qb, compute_uv=False)
+        assert s[:-1].min() > 0.9, s
+        W = rf.W
+
+
 @pytest.mark.parametrize("seed", [21, 22, 23])
 def test_eigdefpcg_parity_sweep(seed):
     """Multi-seed hardening of the headline parity claim (eigDef-PCG along a
