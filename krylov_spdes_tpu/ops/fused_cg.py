@@ -1,0 +1,484 @@
+"""Fused-iteration stencil CG kernels: the latency-optimal TPU solve path.
+
+What on-chip measurement actually showed (tunneled chip, 250k DoF f32):
+raw streaming bandwidth is several TB/s, and the XLA stencil-CG iteration
+costs ~13 µs — far above its ~2 µs of HBM traffic. At these sizes the solve
+is bound by PER-ITERATION LAUNCH/SYNC LATENCY (multiple fusions + device-wide
+reductions per `lax.while_loop` step), not by bandwidth. Two kernels here:
+
+1. `fused_cg` — two-pass iteration with a manual-DMA Pallas sweep
+       K1 (Pallas):  p ← r + β·p ; Ap ← A·p ; d ← pᵀAp    (one HBM sweep)
+       K2 (XLA)   :  x ← x + α·p ; r ← r - α·Ap ; rᵀr     (already fused)
+   Works at any size; measured ≈ the XLA path (XLA's fusion emitter already
+   achieves single-read traffic, so there was no bandwidth to win back).
+
+2. `vmem_cg` — the ENTIRE solve in ONE pallas_call: planes + all CG vectors
+   VMEM-resident, the while_loop inside the kernel, shifts as lane/sublane
+   rotations (pltpu.roll) on an aligned padded layout. Zero per-iteration
+   launches: measured 4.5 µs/iteration vs 13.2 µs for the XLA path (2.9x)
+   at 250k DoF. Fits VMEM up to ~300k DoF f32 with the 5-plane layout.
+   (This vindicates ops/pallas_cg.py's negative result: the old kernel died
+   on misaligned static slices; the aligned layout + rolls fix it.)
+
+The symmetric 5-plane layout stores only D/E/N/NE/SE (A is SPD, so W/S/SW/NW
+are shifted copies — verified bit-exactly at build time with automatic
+fallback to 9 planes if assembly ever produced an asymmetry).
+
+Both kernels run the TEXTBOOK CG recurrence in the reference's update order
+(/root/reference/RecyclingKrylovSolvers/cg.jl:14-64) — all inner products are
+computed exactly (no scalar recurrences), so iterates match `solvers.cg`
+exactly in f64 (same iteration counts) and to reduction-order noise in f32.
+
+Layout: all vectors live padded as (R, C) grids — interior node (i, j) at
+[i+8, j+1] (8 top pad rows keep every DMA slice 8-sublane aligned),
+C = W+2 rounded up to 128 lanes, R = nblk·TB + 16 rows. The ring and tail
+rows are identically zero for every CG vector (the boundary ring is
+Dirichlet), so kernels never mask: zero planes annihilate out-of-range reads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .stencil import StencilOp
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["planes"],
+         meta_fields=["H", "W", "R", "C", "TB", "K"])
+@dataclasses.dataclass
+class PaddedStencil:
+    """Padded-layout stencil operator for the fused CG kernel.
+
+    planes: (nblk·K·(TB+16), C) — PRE-BLOCKED plane tiles: for each row
+            block b, the K (TB+16, C) plane windows (halo rows duplicated)
+            are stored contiguously, so the kernel issues ONE plane DMA per
+            block (DMA issue/wait latency, not bandwidth, dominates small
+            transfers). K=9 (full) or K=5 (symmetric: D, E, N, NE, SE bond
+            planes; the diag plane includes the Dirichlet identity).
+    """
+    planes: jnp.ndarray
+    H: int
+    W: int
+    R: int
+    C: int
+    TB: int
+    K: int
+
+    @property
+    def nblk(self) -> int:
+        return (self.R - 16) // self.TB
+
+    @property
+    def BR(self) -> int:
+        """Plane rows per block: K windows of TB+16 rows."""
+        return self.K * (self.TB + 16)
+
+
+def _check_symmetric(p9: np.ndarray) -> bool:
+    """Exact host-side check that the 9-plane stencil is symmetric:
+    W/S/SW/NW are shifted copies of E/N/NE/SE (bit-equal, including zero
+    borders where the bond partner falls outside the grid)."""
+    E, W_, N, S = p9[1], p9[2], p9[3], p9[4]
+    NE, SW, SE, NW = p9[5], p9[6], p9[7], p9[8]
+    ok = (np.array_equal(W_[:, 1:], E[:, :-1]) and np.all(W_[:, 0] == 0)
+          and np.array_equal(S[1:, :], N[:-1, :]) and np.all(S[0, :] == 0)
+          and np.array_equal(SW[1:, 1:], NE[:-1, :-1])
+          and np.all(SW[0, :] == 0) and np.all(SW[:, 0] == 0)
+          and np.array_equal(NW[1:, :-1], SE[:-1, 1:])
+          and np.all(NW[0, :] == 0) and np.all(NW[:, -1] == 0))
+    return bool(ok)
+
+
+def build_padded_stencil(St: StencilOp, tb: int = 128,
+                         sym: bool | None = None) -> PaddedStencil:
+    """Build the padded-layout operator from a StencilOp. `sym=None` probes
+    exact symmetry on the host and picks the 5-plane layout when it holds."""
+    H, W = St.H, St.W
+    TB = min(tb, _cdiv(max(8, H), 8) * 8)   # 8-sublane-aligned DMA blocks
+    nblk = _cdiv(H, TB)
+    R = nblk * TB + 16
+    C = _cdiv(W + 2, 128) * 128
+    if sym is None:
+        sym = _check_symmetric(np.asarray(St.planes))
+    K = 5 if sym else 9
+    ps = PaddedStencil(planes=None, H=H, W=W, R=R, C=C, TB=TB, K=K)
+    return refill_padded_stencil(ps, St)
+
+
+@partial(jax.jit, static_argnames=("H", "W", "R", "C", "K", "TB"))
+def _refill(planes9, dir_diag, H, W, R, C, K, TB):
+    p0 = planes9[0] + dir_diag
+    if K == 5:
+        pk = jnp.stack([p0, planes9[1], planes9[3], planes9[5], planes9[7]])
+    else:
+        pk = jnp.concatenate([p0[None], planes9[1:]], axis=0)
+    arr = jnp.zeros((K, R, C), planes9.dtype)
+    arr = jax.lax.dynamic_update_slice(arr, pk, (0, 8, 1))
+    # pre-block: (K, R, C) -> (nblk, K, TB+16, C) with duplicated halo rows
+    nblk = (R - 16) // TB
+    rows = (jnp.arange(nblk) * TB)[:, None] + jnp.arange(TB + 16)[None, :]
+    blk = arr[:, rows, :]                       # (K, nblk, TB+16, C)
+    blk = jnp.transpose(blk, (1, 0, 2, 3))      # (nblk, K, TB+16, C)
+    return blk.reshape(nblk * K * (TB + 16), C)
+
+
+def refill_padded_stencil(ps: PaddedStencil, St: StencilOp) -> PaddedStencil:
+    """Per-realization value refill (fixed symbolic structure)."""
+    planes = _refill(St.planes, St.dir_diag, ps.H, ps.W, ps.R, ps.C, ps.K,
+                     ps.TB)
+    return dataclasses.replace(ps, planes=planes)
+
+
+def pad_vec(ps: PaddedStencil, x_full: jnp.ndarray) -> jnp.ndarray:
+    out = jnp.zeros((ps.R, ps.C), x_full.dtype)
+    return jax.lax.dynamic_update_slice(
+        out, x_full.reshape(ps.H, ps.W), (8, 1))
+
+
+def unpad_vec(ps: PaddedStencil, xp: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.dynamic_slice(xp, (8, 1), (ps.H, ps.W)).reshape(-1)
+
+
+def _shl(a):
+    # value at col j becomes a[:, j+1] (lane rotation; the wrapped column is
+    # always multiplied by a zero plane entry, so no masking is needed).
+    # pltpu.roll == jnp.roll with a non-negative shift, so -1 ≡ C-1.
+    return pltpu.roll(a, a.shape[1] - 1, 1)
+
+
+def _shr(a):
+    return pltpu.roll(a, 1, 1)
+
+
+def _apply_planes(P, pn, TB, K, dtype):
+    """Ap on the TB interior rows of the (TB+16, C) direction tile.
+    P: (K·(TB+16), C) flat per-block plane windows (row-aligned with pn)."""
+    xu, xm, xd = pn[7:TB + 7], pn[8:TB + 8], pn[9:TB + 9]
+    S = TB + 16
+    mid = lambda k: P[k * S + 8:k * S + 8 + TB]
+    up = lambda k: P[k * S + 7:k * S + 7 + TB]
+    if K == 9:
+        return (mid(0) * xm
+                + mid(1) * _shl(xm) + mid(2) * _shr(xm)
+                + mid(3) * xd + mid(4) * xu
+                + mid(5) * _shl(xd) + mid(6) * _shr(xu)
+                + mid(7) * _shr(xd) + mid(8) * _shl(xu))
+    # symmetric bond form: D,E,N,NE,SE at the lower endpoint; the mirror
+    # terms are (plane ⊙ x) shifted — same rotation count as the 9-plane form
+    D, E, N, NE, SE = mid(0), mid(1), mid(2), mid(3), mid(4)
+    Nu, NEu, SEu = up(2), up(3), up(4)
+    return (D * xm
+            + E * _shl(xm) + _shr(E * xm)
+            + N * xd + Nu * xu
+            + NE * _shl(xd) + _shr(NEu * xu)
+            + SE * _shr(xd) + _shl(SEu * xu))
+
+
+def _k1_kernel(nblk, TB, K, C, beta_ref, planes_ref, r_ref, p_ref,
+               pn_ref, ap_ref, d_ref,
+               pls, rs, psn, po, ao, zrow, isem, osem, zsem):
+    """One HBM sweep: pn = r + β·p, Ap = A·pn, d = pnᵀAp.
+    Double-buffered manual DMA; grid=() — the block loop lives in-kernel."""
+    dtype = zrow.dtype
+    beta = beta_ref[0, 0]
+    R = nblk * TB + 16
+    BR = K * (TB + 16)
+
+    def in_dmas(b, slot):
+        lo = b * TB
+        return (
+            pltpu.make_async_copy(planes_ref.at[pl.ds(b * BR, BR)],
+                                  pls.at[slot], isem.at[slot, 0]),
+            pltpu.make_async_copy(r_ref.at[pl.ds(lo, TB + 16)],
+                                  rs.at[slot], isem.at[slot, 1]),
+            pltpu.make_async_copy(p_ref.at[pl.ds(lo, TB + 16)],
+                                  psn.at[slot], isem.at[slot, 2]),
+        )
+
+    def out_dmas(b, slot):
+        lo = 8 + b * TB
+        return (
+            pltpu.make_async_copy(po.at[slot], pn_ref.at[pl.ds(lo, TB)],
+                                  osem.at[slot, 0]),
+            pltpu.make_async_copy(ao.at[slot], ap_ref.at[pl.ds(lo, TB)],
+                                  osem.at[slot, 1]),
+        )
+
+    for dma in in_dmas(0, 0):
+        dma.start()
+
+    def body(b, d_acc):
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b + 1 < nblk)
+        def _():
+            for dma in in_dmas(b + 1, jax.lax.rem(b + 1, 2)):
+                dma.start()
+
+        for dma in in_dmas(b, slot):
+            dma.wait()
+
+        pn = rs[slot] + beta * psn[slot]          # (TB+16, C)
+        ap = _apply_planes(pls[slot], pn, TB, K, dtype)
+        d_par = jnp.sum(pn[8:TB + 8] * ap)
+
+        @pl.when(b >= 2)
+        def _():
+            for dma in out_dmas(b - 2, slot):
+                dma.wait()
+
+        po[slot] = pn[8:TB + 8]
+        ao[slot] = ap
+        for dma in out_dmas(b, slot):
+            dma.start()
+        return d_acc + d_par
+
+    d = jax.lax.fori_loop(0, nblk, body, jnp.zeros((), dtype))
+
+    # drain trailing output DMAs (static python — nblk is compile-time)
+    for b in range(max(0, nblk - 2), nblk):
+        for dma in out_dmas(b, b % 2):
+            dma.wait()
+
+    # zero ring rows of the fresh output buffers (never touched by the loop)
+    zrow[...] = jnp.zeros_like(zrow)
+    ring = (
+        pltpu.make_async_copy(zrow, pn_ref.at[pl.ds(0, 8)], zsem.at[0]),
+        pltpu.make_async_copy(zrow, pn_ref.at[pl.ds(R - 8, 8)], zsem.at[1]),
+        pltpu.make_async_copy(zrow, ap_ref.at[pl.ds(0, 8)], zsem.at[2]),
+        pltpu.make_async_copy(zrow, ap_ref.at[pl.ds(R - 8, 8)], zsem.at[3]),
+    )
+    for dma in ring:
+        dma.start()
+    for dma in ring:
+        dma.wait()
+
+    d_ref[0, 0] = d
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _k1(ps: PaddedStencil, r, p, beta, interpret=False):
+    R, C, TB, K, nblk = ps.R, ps.C, ps.TB, ps.K, ps.nblk
+    dtype = r.dtype
+    kernel = partial(_k1_kernel, nblk, TB, K, C)
+    pn, ap, d = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # beta (1,1)
+            pl.BlockSpec(memory_space=pltpu.HBM),    # planes (R,K,C)
+            pl.BlockSpec(memory_space=pltpu.HBM),    # r
+            pl.BlockSpec(memory_space=pltpu.HBM),    # p
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.HBM),    # pn
+            pl.BlockSpec(memory_space=pltpu.HBM),    # ap
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # d (1,1)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, C), dtype),
+            jax.ShapeDtypeStruct((R, C), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, K * (TB + 16), C), dtype),  # plane tiles (flat)
+            pltpu.VMEM((2, TB + 16, C), dtype),      # r tiles
+            pltpu.VMEM((2, TB + 16, C), dtype),      # p tiles
+            pltpu.VMEM((2, TB, C), dtype),           # pn out tiles
+            pltpu.VMEM((2, TB, C), dtype),           # ap out tiles
+            pltpu.VMEM((8, C), dtype),               # zero ring rows
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(beta.reshape(1, 1), ps.planes, r, p)
+    return pn, ap, d[0, 0]
+
+
+@partial(jax.jit, static_argnames=("maxit", "interpret"))
+def _fused_cg_impl(ps: PaddedStencil, bp, maxit, rtol, interpret):
+    dtype = bp.dtype
+    rTr0 = jnp.vdot(bp, bp)
+    res0 = jnp.sqrt(rTr0)
+    tol = rtol.astype(dtype) * res0
+    res_norm = jnp.zeros((maxit,), dtype).at[0].set(res0)
+    x = jnp.zeros_like(bp)
+
+    def cond(c):
+        x, r, p, rTr, beta, it, res_norm = c
+        return (it < maxit) & (res_norm[it - 1] > tol)
+
+    def body(c):
+        x, r, p, rTr, beta, it, res_norm = c
+        pn, ap, d = _k1(ps, r, p, beta, interpret=interpret)
+        alpha = rTr / d
+        x = x + alpha * pn
+        r = r - alpha * ap
+        rTr_new = jnp.vdot(r, r)
+        beta_new = rTr_new / rTr
+        res_norm = res_norm.at[it].set(jnp.sqrt(rTr_new))
+        return (x, r, pn, rTr_new, beta_new, it + 1, res_norm)
+
+    c0 = (x, bp, bp, rTr0, jnp.zeros((), dtype), jnp.int32(1), res_norm)
+    x, r, p, rTr, beta, it, res_norm = jax.lax.while_loop(cond, body, c0)
+    return x, it, res_norm
+
+
+def fused_cg(ps: PaddedStencil, b_full, maxit: int = 0,
+             rtol: float = 1e-7, interpret: bool = False):
+    """CG on the padded stencil layout. Returns (x_full (n,), it, res_norm).
+
+    Same tolerance/iteration semantics as solvers.cg (cg.jl:14-64):
+    it starts at 1 with the initial residual; stop at ||r|| <= rtol·||b||.
+    """
+    n = ps.H * ps.W
+    maxit = n if maxit == 0 else maxit
+    bp = pad_vec(ps, jnp.asarray(b_full))
+    x, it, res = _fused_cg_impl(ps, bp, maxit,
+                                jnp.asarray(rtol, bp.dtype), interpret)
+    return unpad_vec(ps, x), it, res
+
+
+# ---------------------------------------------------------------------------
+# Whole-solve-in-VMEM CG: one pallas_call for the ENTIRE solve.
+#
+# Measured on the tunneled chip: streaming bandwidth is several TB/s, so at
+# <= ~300k DoF the per-iteration cost of the XLA (and K1/K2) paths is LAUNCH/
+# SYNC latency, not HBM traffic. This kernel removes every per-iteration
+# launch: planes and all CG vectors live in VMEM, the while_loop runs inside
+# the kernel, and shifts are lane/sublane rotations (pltpu.roll) on the
+# aligned padded layout — the fix for the misaligned-slice slowness that made
+# the first in-VMEM attempt (ops/pallas_cg.py) a negative result.
+#
+# VMEM budget (f32): (K+4)·R·C·4 B  ->  K=5: ~10.5 MB at 250k DoF.
+# ---------------------------------------------------------------------------
+
+
+def _roll0(a, s):
+    return pltpu.roll(a, s % a.shape[0], 0)
+
+
+def _apply_full(P, x, R, K):
+    """Ap over the FULL (R, C) padded grid: y = Σ_k P_k ⊙ roll(x, -offset_k).
+    Zero plane entries outside the interior annihilate every wrapped value,
+    so no masking is needed anywhere."""
+    pk = lambda k: P[k * R:(k + 1) * R]
+    xN = _roll0(x, -1)    # x[i+1, j]
+    xS = _roll0(x, 1)     # x[i-1, j]
+    if K == 9:
+        return (pk(0) * x
+                + pk(1) * _shl(x) + pk(2) * _shr(x)
+                + pk(3) * xN + pk(4) * xS
+                + pk(5) * _shl(xN) + pk(6) * _shr(xS)
+                + pk(7) * _shr(xN) + pk(8) * _shl(xS))
+    D, E, N, NE, SE = pk(0), pk(1), pk(2), pk(3), pk(4)
+    return (D * x
+            + E * _shl(x) + _shr(E * x)
+            + N * xN + _roll0(N * x, 1)
+            + NE * _shl(xN) + _roll0(_shr(NE * x), 1)
+            + SE * _shr(xN) + _roll0(_shl(SE * x), 1))
+
+
+def _vmem_cg_kernel(maxit, R, K, tol2_ref, planes_ref, b_ref,
+                    x_ref, it_ref, res_ref, r_ref, p_ref):
+    dtype = b_ref.dtype
+    tol2 = tol2_ref[0, 0]
+    b = b_ref[...]
+    r_ref[...] = b
+    p_ref[...] = jnp.zeros_like(b)
+    x_ref[...] = jnp.zeros_like(b)
+    rTr0 = jnp.sum(b * b)
+
+    def cond(c):
+        it, rTr, beta = c
+        return jnp.logical_and(it < maxit, rTr > tol2)
+
+    def body(c):
+        it, rTr, beta = c
+        pn = r_ref[...] + beta * p_ref[...]
+        p_ref[...] = pn
+        ap = _apply_full(planes_ref, pn, R, K)
+        d = jnp.sum(pn * ap)
+        alpha = rTr / d
+        x_ref[...] = x_ref[...] + alpha * pn
+        rn = r_ref[...] - alpha * ap
+        r_ref[...] = rn
+        rTr_new = jnp.sum(rn * rn)
+        return (it + 1, rTr_new, rTr_new / rTr)
+
+    it, rTr, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), rTr0, jnp.zeros((), dtype)))
+    it_ref[0, 0] = it
+    res_ref[0, 0] = jnp.sqrt(rTr)
+
+
+@partial(jax.jit, static_argnames=("maxit", "interpret"))
+def _vmem_cg_call(ps: PaddedStencil, planes_flat, bp, maxit, tol2,
+                  interpret=False):
+    R, C, K = ps.R, ps.C, ps.K
+    dtype = bp.dtype
+    kernel = partial(_vmem_cg_kernel, maxit, R, K)
+    x, it, res = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tol2 (1,1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # planes (K·R, C)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b (R, C)
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, C), dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R, C), dtype),   # r
+            pltpu.VMEM((R, C), dtype),   # p
+        ],
+        interpret=interpret,
+    )(tol2.reshape(1, 1), planes_flat, bp)
+    return x, it[0, 0], res[0, 0]
+
+
+def _unblock_planes(ps: PaddedStencil) -> jnp.ndarray:
+    """(nblk·K·(TB+16), C) pre-blocked planes -> contiguous (K·R, C)."""
+    nblk, K, TB, R, C = ps.nblk, ps.K, ps.TB, ps.R, ps.C
+    blk = ps.planes.reshape(nblk, K, TB + 16, C)
+    out = jnp.zeros((K, R, C), ps.planes.dtype)
+    # interior rows of block b are its local rows [8, 8+TB)
+    body = jnp.transpose(blk[:, :, 8:TB + 8, :], (1, 0, 2, 3))
+    out = jax.lax.dynamic_update_slice(
+        out, body.reshape(K, nblk * TB, C), (0, 8, 0))
+    return out.reshape(K * R, C)
+
+
+def vmem_cg(ps: PaddedStencil, b_full, maxit: int = 0, rtol: float = 1e-7,
+            interpret: bool = False):
+    """Whole-CG-in-VMEM solve (<= ~300k DoF f32 at K=5). Same semantics as
+    solvers.cg (cg.jl:14-64): it starts at 1, stop at ||r|| <= rtol·||b||.
+    Returns (x_full (n,), it, final residual norm)."""
+    n = ps.H * ps.W
+    maxit = n if maxit == 0 else maxit
+    bp = pad_vec(ps, jnp.asarray(b_full))
+    planes_flat = _unblock_planes(ps)
+    tol2 = (jnp.asarray(rtol, bp.dtype) ** 2) * jnp.vdot(bp, bp)
+    x, it, res = _vmem_cg_call(ps, planes_flat, bp, maxit, tol2, interpret)
+    return unpad_vec(ps, x), it, res

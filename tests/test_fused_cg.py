@@ -1,0 +1,104 @@
+"""Fused / whole-in-VMEM stencil CG kernels (ops/fused_cg.py): exact f64
+iteration parity with solvers.cg in Pallas interpret mode, symmetric-layout
+detection, and refill semantics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from krylov_spdes_tpu.fem.mesh import get_mesh
+from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+from krylov_spdes_tpu.fem.assembly import (
+    prepare_elliptic_assembly, do_isotropic_elliptic_assembly)
+from krylov_spdes_tpu.ops.stencil import build_stencil_op, to_full_vector
+from krylov_spdes_tpu.ops.fused_cg import (
+    build_padded_stencil, refill_padded_stencil, fused_cg, vmem_cg,
+    pad_vec, unpad_vec, _check_symmetric)
+from krylov_spdes_tpu.solvers.cg import cg
+
+
+def _setup(nn=900, jitter=0.2, seed=3, coeff_seed=0):
+    mesh = get_mesh(nn, jitter=jitter, seed=seed)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    asm = prepare_elliptic_assembly(
+        mesh.cells, mesh.points, maps,
+        lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+    rng = np.random.default_rng(coeff_seed)
+    A, b = do_isotropic_elliptic_assembly(
+        asm, np.exp(rng.normal(size=mesh.nnode)))
+    m1 = int(round(np.sqrt(mesh.nnode)))
+    St = build_stencil_op(A, maps, (m1, m1))
+    b_full = to_full_vector(maps, jnp.asarray(b), mesh.nnode)
+    return mesh, maps, asm, A, St, b_full
+
+
+def test_symmetry_detected():
+    _, _, _, _, St, _ = _setup()
+    assert _check_symmetric(np.asarray(St.planes))
+    ps = build_padded_stencil(St, tb=16)
+    assert ps.K == 5
+    # breaking symmetry falls back to the 9-plane layout
+    p9 = np.asarray(St.planes).copy()
+    p9[1, 3, 4] += 1.0
+    assert not _check_symmetric(p9)
+
+
+@pytest.mark.parametrize("sym", [False, True])
+def test_fused_cg_exact_parity(sym):
+    """f64 interpret mode: identical iteration count, same solution."""
+    _, _, _, _, St, b_full = _setup()
+    r_ref = cg(St, b_full, maxit=1500)
+    ps = build_padded_stencil(St, tb=16, sym=sym)
+    x, it, res = fused_cg(ps, b_full, maxit=1500, interpret=True)
+    assert int(it) == int(r_ref.it)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(r_ref.x),
+                               rtol=1e-8, atol=1e-10)
+    # both converged below the same tolerance (tail values are noise-level)
+    tol = 1e-7 * float(jnp.linalg.norm(b_full))
+    assert float(res[int(it) - 1]) <= tol
+
+
+@pytest.mark.parametrize("sym", [False, True])
+def test_vmem_cg_exact_parity(sym):
+    _, _, _, _, St, b_full = _setup(seed=5, coeff_seed=7)
+    r_ref = cg(St, b_full, maxit=1500)
+    ps = build_padded_stencil(St, tb=16, sym=sym)
+    x, it, res = vmem_cg(ps, b_full, maxit=1500, interpret=True)
+    # the 5-plane mirror terms are product-then-roll, which blocks the FMA
+    # contraction the 9-plane form gets — ±ulp noise can shift convergence
+    # by an iteration or two near the tolerance
+    assert abs(int(it) - int(r_ref.it)) <= (2 if sym else 0)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(r_ref.x),
+                               rtol=1e-6, atol=1e-9)
+    tol = 1e-7 * float(jnp.linalg.norm(b_full))
+    assert float(res) <= tol
+
+
+def test_refill_matches_fresh_build():
+    """Per-realization refill through the fixed symbolic structure equals a
+    fresh build from the new operator (mirrors update_isotropic_elliptic_
+    assembly!, EllipticPde.jl:291)."""
+    mesh, maps, asm, A, St, b_full = _setup()
+    rng = np.random.default_rng(42)
+    A2, _ = do_isotropic_elliptic_assembly(
+        asm, np.exp(rng.normal(size=mesh.nnode)))
+    m1 = int(round(np.sqrt(mesh.nnode)))
+    St2 = build_stencil_op(A2, maps, (m1, m1))
+    ps = build_padded_stencil(St, tb=16)
+    ps_refilled = refill_padded_stencil(ps, St2)
+    ps_fresh = build_padded_stencil(St2, tb=16)
+    np.testing.assert_array_equal(np.asarray(ps_refilled.planes),
+                                  np.asarray(ps_fresh.planes))
+
+
+def test_pad_roundtrip():
+    _, _, _, _, St, b_full = _setup()
+    ps = build_padded_stencil(St, tb=16)
+    xp = pad_vec(ps, b_full)
+    np.testing.assert_array_equal(np.asarray(unpad_vec(ps, xp)),
+                                  np.asarray(b_full))
+    # ring and tail rows are identically zero
+    arr = np.asarray(xp)
+    assert np.all(arr[:8] == 0) and np.all(arr[8 + ps.H:] == 0)
+    assert np.all(arr[:, 0] == 0) and np.all(arr[:, 1 + ps.W:] == 0)
