@@ -1,11 +1,23 @@
-"""Headline benchmark: SpMV throughput through the CG solver, per chip.
+"""Headline benchmark: SpMV throughput through full CG solves, per chip.
 
 Prints ONE JSON line. The reference publishes no wall-clock numbers
 (BASELINE.md), so `vs_baseline` is measured against this framework's own
 first recorded value via BENCH_BASELINE (defaults to 1.0 = parity with
-itself); the absolute metric is effective nnz/s through a full CG solve
-(nnz × iterations / wall time — counts the SpMV, dots and axpys as one
+itself); the absolute metric is effective nnz/s through full CG solves
+(nnz x iterations / wall time — counts the SpMV, dots and axpys as one
 fused pipeline, which is what the solver actually runs).
+
+Measurement notes:
+- Solver path: the whole-solve-in-VMEM Pallas kernel (ops/fused_cg.vmem_cg,
+  4.5 us/iteration at 250k DoF vs 13.2 us for the XLA while_loop path);
+  falls back to the XLA stencil CG if the kernel is unavailable.
+- The tunneled chip adds ~25-30 ms of dispatch+readback latency per host
+  round trip, which used to dominate a single ~10 ms solve. The timed region
+  therefore runs NSOLVE solves back-to-back (sequenced by a lax.scan carry,
+  each with a differently-scaled RHS) and reads back once, so the reported
+  number reflects device throughput, not tunnel latency.
+- Setup runs on CPU so only the stencil planes + rhs (~10 MB) cross the
+  (slow) host->device link, not the full assembly plan (~100+ MB).
 """
 
 import json
@@ -22,13 +34,17 @@ def main():
     from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
     from krylov_spdes_tpu.fem.assembly import (prepare_elliptic_assembly,
                                                do_isotropic_elliptic_assembly)
+    from krylov_spdes_tpu.ops.stencil import build_stencil_op, to_full_vector
+    from krylov_spdes_tpu.ops.fused_cg import (build_padded_stencil,
+                                               _vmem_cg_call, _unblock_planes,
+                                               pad_vec)
     from krylov_spdes_tpu.solvers.cg import cg
 
-    from krylov_spdes_tpu.ops.stencil import build_stencil_op, to_full_vector
-
     nnode = int(os.environ.get("BENCH_NNODE", "250000"))
-    # Setup runs on CPU so only the 9 stencil planes + rhs (~10 MB) cross the
-    # (slow) host->device link, not the full assembly plan (~100+ MB).
+    nsolve = int(os.environ.get("BENCH_NSOLVE", "8"))
+    maxit = 2000
+    rtol = 1e-6
+
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         mesh = get_mesh(nnode)
@@ -40,28 +56,54 @@ def main():
         coeff = np.exp(0.3 * rng.normal(size=mesh.nnode))
         A, b = do_isotropic_elliptic_assembly(asm, coeff)
         m1 = int(round(np.sqrt(mesh.nnode)))
-        St = build_stencil_op(A, maps, (m1, m1))  # gather-free SpMV path
+        St = build_stencil_op(A, maps, (m1, m1))
         b_full = to_full_vector(maps, jnp.asarray(b), mesh.nnode)
     dev = jax.devices()[0]
     St = jax.device_put(St, dev)
     b_full = jax.device_put(b_full, dev)
-    maxit = 2000
-
-    # warm-up / compile; float() forces full execution + readback (the axon
-    # tunnel's block_until_ready is unreliable for timing)
-    r = cg(St, b_full, maxit=maxit, rtol=1e-6)
-    float(jnp.sum(r.x))
-
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        r = cg(St, b_full, maxit=maxit, rtol=1e-6)
-        float(jnp.sum(r.x))
-        times.append(time.time() - t0)
-    dt = sorted(times)[1]   # median of 3
-
-    iters = int(r.it)
     nnz = A.nnz
+
+    try:
+        ps = build_padded_stencil(St)
+        bp = pad_vec(ps, b_full)
+        pf = _unblock_planes(ps)
+        scales = jnp.linspace(1.0, 2.0, nsolve, dtype=bp.dtype)
+
+        @jax.jit
+        def run(ps, pf, bp, scales):
+            def step(carry, s):
+                bk = bp * (s + 1e-30 * carry)   # sequence the solves
+                tol2 = (rtol ** 2) * jnp.vdot(bk, bk)
+                x, it, res = _vmem_cg_call(ps, pf, bk, maxit, tol2)
+                return jnp.sum(x), it
+
+            last, its = jax.lax.scan(step, jnp.zeros((), bp.dtype), scales)
+            return last, its
+
+        last, its = run(ps, pf, bp, scales)   # compile + warm
+        float(last)
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            last, its = run(ps, pf, bp, scales)
+            float(last)
+            times.append(time.time() - t0)
+        dt = sorted(times)[1]
+        iters = int(np.sum(np.asarray(its)))
+        path = "vmem"
+    except Exception:
+        r = cg(St, b_full, maxit=maxit, rtol=rtol)
+        float(jnp.sum(r.x))
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            r = cg(St, b_full, maxit=maxit, rtol=rtol)
+            float(jnp.sum(r.x))
+            times.append(time.time() - t0)
+        dt = sorted(times)[1]
+        iters = int(r.it)
+        path = "xla"
+
     nnz_per_s = nnz * iters / dt
 
     baseline = float(os.environ.get("BENCH_BASELINE", nnz_per_s))
