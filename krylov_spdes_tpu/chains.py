@@ -145,3 +145,61 @@ def run_chains(plan: StencilAssemblyPlan, states, nsmp: int, M="jacobi",
         states, W, it, cnt = vstep(states, W)
         its.append(it)
     return states, jnp.stack(its, axis=1)
+
+
+def make_batched_chain_step(plan: StencilAssemblyPlan, nvec: int = 20,
+                            spdim: int = 61, maxit: int = 500,
+                            rtol: float | None = None):
+    """Natively-batched multi-chain step — the production layout for one chip.
+
+    `jax.vmap(step)` turns the recycler's restart `lax.cond` into a select
+    that runs the thick-restart every iteration (see solvers/batched.py);
+    this step keeps the restart schedule scalar across chains instead, so N
+    chains cost ~one chain's launch latency plus N× the vector work.
+
+    step(states, W) -> (states, W', its (B,), proposals (B,)).
+    `states` from `prepare_chain_states` (shared basis); W (B, n_full, nvec).
+    """
+    from .ops.stencil import stencil_matvec_batched
+    from .solvers.batched import _batched_eigdef_impl
+
+    rtol = effective_rtol(plan.factors.dtype, rtol)
+    axes = None
+
+    @jax.jit
+    def step(states: SamplerState, W):
+        ax = chain_in_axes(states)
+        draw = _draw_mcmc if states.kind != "mc" else _draw_mc
+        states, cnt = jax.vmap(draw, in_axes=(ax,), out_axes=(ax, 0))(states)
+        planes, b = jax.vmap(stencil_assemble, in_axes=(None, 0))(
+            plan, jnp.exp(states.g))
+        mdiag = 1.0 / (planes[:, 0] + plan.dir_diag[None]).reshape(
+            b.shape[0], -1)
+        A = Partial(stencil_matvec_batched, planes, plan.dir_diag)
+        x0 = jnp.zeros_like(b)
+        x, its, res, Wn = _batched_eigdef_impl(A, mdiag, b, x0, W,
+                                               nvec, spdim, maxit, rtol)
+        return states, Wn, its, cnt
+
+    return step
+
+
+def seed_chains_batched(plan: StencilAssemblyPlan, states: SamplerState,
+                        nvec: int = 20, spdim: int = 61, maxit: int = 500,
+                        rtol: float | None = None):
+    """Seed every chain's deflation basis with a vmapped eigPCG first solve
+    (one-time cost; Example09's s=1 seeding). Returns (W (B, n, nvec), its)."""
+    rtol = effective_rtol(plan.factors.dtype, rtol)
+    ax = chain_in_axes(states)
+
+    def one(s):
+        planes, b = stencil_assemble(plan, jnp.exp(s.g))
+        op = StencilOp(planes=planes, dir_diag=plan.dir_diag,
+                       slot=jnp.zeros((0,), jnp.int32), H=plan.H, W=plan.W)
+        A = Partial(stencil_matvec, op)
+        Mfn = _precond_for(plan, "jacobi", planes)
+        x, it, res, W = _eigpcg_impl(A, Mfn, b, jnp.zeros_like(b),
+                                     nvec, spdim, maxit, rtol)
+        return W, it
+
+    return jax.jit(jax.vmap(one, in_axes=(ax,)))(states)

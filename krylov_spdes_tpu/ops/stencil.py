@@ -133,3 +133,22 @@ def to_full_vector(maps: DirichletMaps, b_free, n_full: int):
 
 def to_free_vector(maps: DirichletMaps, x_full):
     return x_full[jnp.asarray(maps.free_l2g)]
+
+
+@jax.jit
+def stencil_matvec_batched(planes, dir_diag, x):
+    """Batched y = A_b x_b over a leading chain axis.
+
+    planes: (B, 9, H, W) per-chain stiffness planes; dir_diag (H, W) shared;
+    x (B, H·W). One fused VPU pass — the batch axis rides along, so per-
+    iteration launch latency amortizes across chains (the flagship multi-
+    chain MCMC layout)."""
+    B = x.shape[0]
+    H, W = dir_diag.shape
+    x2 = x.reshape(B, H, W)
+    xp = jnp.pad(x2, ((0, 0), (1, 1), (1, 1)))
+    y = (planes[:, 0] + dir_diag[None]) * x2
+    for k, (di, dj) in enumerate(OFFSETS[1:], start=1):
+        y = y + planes[:, k] * jax.lax.dynamic_slice(
+            xp, (0, 1 + di, 1 + dj), (B, H, W))
+    return y.reshape(B, -1)

@@ -1,0 +1,206 @@
+"""Natively-batched eigDef-PCG for multi-chain MCMC — the fix for the
+vmap-blowup on the flagship workload.
+
+Why not `jax.vmap(_eigdef_impl)`: under vmap every `lax.cond` lowers to a
+select that executes BOTH branches, so the thick-restart branch (batched
+(spdim, spdim) eigendecompositions, QZᵀV projections over the full search
+space, and the first-restart WᵀA·V fix-up) runs EVERY iteration instead of
+once per (spdim − nvec) window — measured 4x per-chain slowdown at 4 chains
+and worse beyond. Batched dynamic row writes V.at[ivec] with per-chain ivec
+also lower to scalar-core scatters.
+
+This solver keeps the iteration/restart SCHEDULE in scalars shared across
+the batch (it, ivec, first), so `lax.cond` stays a real branch and all V row
+writes are uniform-index `dynamic_update_slice` (vector-core path). Per-chain
+state (x, r, p, rTz, convergence) is masked: a converged chain freezes — its
+x, V, VtAV and recorded iteration count stop updating — while the loop runs
+until every chain converges (the per-chain counts still match the reference
+accounting, defcg.jl:337-473).
+
+One deliberate deviation from the sequential schedule: after a restart the
+next window always starts at ivec = 2·nvec. When the merged double basis is
+full-rank (nev = 2·nvec — the generic case) this is EXACTLY the reference
+schedule; when rank-deficient, the dead rows [nev, 2nvec) keep zero V rows
+and a BIG diagonal in VtAV so the masked restart machinery (eig_common.py)
+never selects them, instead of compacting the window per chain (which would
+desynchronize the batch).
+
+Preconditioner: the fused diagonal form (M = diag(mdiag)) used by the chain
+workload — the same algebra as _eigdef_impl's fused path (solvers/defcg.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve
+
+from .eig_common import thick_restart_basis
+
+
+def _bdot(u, v):
+    return jnp.sum(u * v, axis=-1)
+
+
+def _csolve(cho, rhs):
+    """Batched cho_solve with (B, k) right-hand sides."""
+    return cho_solve(cho, rhs[..., None])[..., 0]
+
+
+@partial(jax.jit, static_argnames=("nvec", "spdim", "maxit"))
+def _batched_eigdef_impl(A, mdiag, b, x0, W, nvec, spdim, maxit, rtol):
+    """Batched fused-diagonal eigDef-PCG.
+
+    A: (B, n) -> (B, n) batched operator (pytree callable)
+    mdiag: (B, n) preconditioner diagonal (M⁻¹ = diag(mdiag))
+    b, x0: (B, n); W: (B, n, nvec)
+    Returns (x (B,n), it (B,), res (B, maxit), W' (B, n, nvec)).
+    """
+    Bn, n = b.shape
+    dtype = b.dtype
+
+    # --- deflation setup (defcg.jl:357-372), batched ---
+    WtA = jnp.swapaxes(jax.vmap(A, in_axes=2, out_axes=0)(W), 0, 1)
+    WtAW = WtA @ W                                   # (B, nvec, nvec)
+    cho = cho_factor(WtAW)
+    r = b - A(x0)
+    x = x0 + jnp.einsum("bnk,bk->bn", W, _csolve(cho, _bdot(W.swapaxes(1, 2), r[:, None, :])))
+    WtW = jnp.swapaxes(W, 1, 2) @ W
+    cho_w = cho_factor(WtW)
+    WtAM = WtA * mdiag[:, None, :]
+    K = WtAM @ W
+    G = jnp.concatenate([jnp.swapaxes(W, 1, 2), WtAM], axis=1)  # (B,2nvec,n)
+
+    V = jnp.zeros((Bn, spdim, n), dtype)
+    VtAV = jnp.zeros((Bn, spdim, spdim), dtype)
+
+    r = b - A(x)
+    rTr = _bdot(r, r)
+    z = mdiag * r
+    rTz = _bdot(r, z)
+    mu = _csolve(cho, jnp.einsum("bkn,bn->bk", WtA, z))
+    p = z - jnp.einsum("bnk,bk->bn", W, mu)
+    res0 = jnp.sqrt(rTr)
+    res = jnp.zeros((Bn, maxit), dtype)
+    res = res.at[:, 0].set(res0)
+    tol = rtol * jnp.linalg.norm(b, axis=1)
+
+    V = V.at[:, :nvec].set(jnp.swapaxes(W, 1, 2))
+    VtAV = VtAV.at[:, :nvec, :nvec].set(WtAW)
+    V = V.at[:, nvec].set(z / jnp.sqrt(rTz)[:, None])
+
+    carry = dict(x=x, r=r, p=p, rTz=rTz, res=res, V=V, VtAV=VtAV,
+                 it=jnp.int32(1), ivec=jnp.int32(nvec),
+                 first=jnp.bool_(True),
+                 alive=res0 > tol,
+                 itc=jnp.ones((Bn,), jnp.int32),
+                 ivec_c=jnp.full((Bn,), nvec, jnp.int32),
+                 first_c=jnp.ones((Bn,), bool),
+                 jr_c=jnp.zeros((Bn,), bool))
+
+    def cond(c):
+        return (c["it"] < maxit) & jnp.any(c["alive"])
+
+    def body(c):
+        alive = c["alive"]
+        am = alive[:, None]
+        it, ivec, first = c["it"], c["ivec"], c["first"]
+        x, r, p, rTz = c["x"], c["r"], c["p"], c["rTz"]
+
+        Ap = A(p)
+        alpha = rTz / _bdot(p, Ap)
+        x = jnp.where(am, x + alpha[:, None] * p, x)
+        rn = r - alpha[:, None] * Ap
+        # fused reorth + deflation coefficients: one read of [Wᵀ; WᵀA·m]
+        U = jnp.einsum("bkn,bn->bk", G, rn)
+        cw = _csolve(cho_w, U[:, :nvec])
+        mu = _csolve(cho, U[:, nvec:] - jnp.einsum("bij,bj->bi", K, cw))
+        T = jnp.einsum("bnk,bkj->bnj", W, jnp.stack([cw, mu], axis=-1))
+        rn = rn - T[..., 0]
+        rTr = _bdot(rn, rn)
+        z = mdiag * rn
+        rTz_new = _bdot(rn, z)
+        beta = rTz_new / rTz
+        pn = beta[:, None] * p + z - T[..., 1]
+        res_new = jnp.sqrt(rTr)
+
+        r = jnp.where(am, rn, r)
+        p = jnp.where(am, pn, p)
+        rTz = jnp.where(alive, rTz_new, rTz)
+        res = c["res"].at[:, it].set(jnp.where(alive, res_new, 0.0))
+        newly = alive & (res_new <= tol)
+        itc = jnp.where(newly, it + 1, c["itc"])
+
+        # search-space update at the SHARED scalar ivec
+        VtAV = c["VtAV"].at[:, ivec, ivec].add(
+            jnp.where(alive, 1.0 / alpha, 0.0))
+        vcol = z / jnp.sqrt(rTz_new)[:, None]
+        V = c["V"]
+
+        def restart(args):
+            V, VtAV = args
+
+            def first_fix(VtAV):
+                block = WtA @ jnp.swapaxes(V[:, nvec:spdim], 1, 2)
+                return VtAV.at[:, :nvec, nvec:].set(block)
+
+            VtAV_f = jax.lax.cond(first, first_fix, lambda a: a, VtAV)
+            vals, QZ, nev = jax.vmap(
+                thick_restart_basis, in_axes=(0, None, None))(
+                    VtAV_f, nvec, jnp.int32(spdim))
+            Vc = jnp.swapaxes(QZ, 1, 2) @ V          # (B, 2nvec, n)
+            Vn = V.at[:, :2 * nvec].set(Vc)
+            Vn = Vn.at[:, 2 * nvec].set(vcol)
+            d = jnp.arange(2 * nvec)
+            # dead rows [nev, 2nvec) get a BIG diagonal so the masked
+            # restart machinery never selects them (vals are zero there)
+            big = 2.0 + jnp.sum(jnp.abs(vals), axis=1)
+            dead = (d[None, :] >= nev[:, None])
+            diag = jnp.where(dead, big[:, None], vals)
+            Wn = jnp.zeros_like(VtAV).at[:, d, d].set(diag)
+            Wn = Wn.at[:, 2 * nvec, 2 * nvec].set(beta / alpha)
+            # frozen chains keep their state
+            Vn = jnp.where(alive[:, None, None], Vn, V)
+            Wn = jnp.where(alive[:, None, None], Wn, VtAV)
+            return (Vn, Wn, jnp.int32(2 * nvec), jnp.bool_(False),
+                    jnp.bool_(True))
+
+        def advance(args):
+            V, VtAV = args
+            iv = ivec + 1
+            old = jax.lax.dynamic_slice_in_dim(V, iv, 1, axis=1)[:, 0]
+            Vn = V.at[:, iv].set(jnp.where(am, vcol, old))
+            od = jnp.where(alive, -jnp.sqrt(beta) / alpha, VtAV[:, ivec, iv])
+            dg = jnp.where(alive, beta / alpha, VtAV[:, iv, iv])
+            Wn = VtAV.at[:, ivec, iv].set(od).at[:, iv, iv].set(dg)
+            return Vn, Wn, iv, first, jnp.bool_(False)
+
+        V, VtAV, ivec_n, first_n, jr_n = jax.lax.cond(
+            ivec == spdim - 1, restart, advance, (V, VtAV))
+
+        return dict(
+            x=x, r=r, p=p, rTz=rTz, res=res, V=V, VtAV=VtAV,
+            it=it + 1, ivec=ivec_n, first=first_n,
+            alive=alive & ~newly, itc=itc,
+            ivec_c=jnp.where(alive, ivec_n, c["ivec_c"]),
+            first_c=jnp.where(alive, first_n, c["first_c"]),
+            jr_c=jnp.where(alive, jr_n, c["jr_c"]))
+
+    c = jax.lax.while_loop(cond, body, carry)
+
+    # --- post-loop harvest (defcg.jl:438-465), batched & per-chain-masked ---
+    V, VtAV = c["V"], c["VtAV"]
+    m = c["ivec_c"]
+    colmask = (jnp.arange(nvec, spdim)[None, :] < m[:, None])
+    block = WtA @ jnp.swapaxes(V[:, nvec:spdim], 1, 2)
+    fixed = jnp.where(colmask[:, None, :], block, VtAV[:, :nvec, nvec:])
+    VtAV_f = jnp.where(c["first_c"][:, None, None],
+                       VtAV.at[:, :nvec, nvec:].set(fixed), VtAV)
+    vals, QZ, nev = jax.vmap(thick_restart_basis, in_axes=(0, None, 0))(
+        VtAV_f, nvec, m)
+    Vh = jnp.swapaxes(QZ, 1, 2) @ V
+    do_h = (~c["jr_c"]) & (m > nvec)
+    Wout = jnp.where(do_h[:, None, None], Vh[:, :nvec], V[:, :nvec])
+    return c["x"], c["itc"], c["res"], jnp.swapaxes(Wout, 1, 2)

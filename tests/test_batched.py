@@ -1,0 +1,129 @@
+"""Natively-batched eigDef-PCG (solvers/batched.py): per-chain parity with
+the sequential fused solver — same iteration counts, same solutions, same
+harvested deflation subspaces."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.tree_util import Partial
+
+from krylov_spdes_tpu.fem.mesh import get_mesh
+from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+from krylov_spdes_tpu.fem.stencil_assembly import (prepare_stencil_assembly,
+                                                   stencil_assemble)
+from krylov_spdes_tpu.ops.stencil import (StencilOp, stencil_matvec,
+                                          stencil_matvec_batched)
+from krylov_spdes_tpu.solvers.defcg import _eigdef_impl
+from krylov_spdes_tpu.solvers.eigcg import _eigpcg_impl
+from krylov_spdes_tpu.solvers.batched import _batched_eigdef_impl
+from krylov_spdes_tpu.solvers.base import as_precond_op
+
+
+def _setup(B=3, nn=1600, seed=0):
+    mesh = get_mesh(nn, seed=0)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    plan = prepare_stencil_assembly(
+        mesh, maps, lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+    rng = np.random.default_rng(seed)
+    g = rng.normal(size=(B, mesh.nnode)) * 0.4
+    planes, b = jax.vmap(stencil_assemble, in_axes=(None, 0))(
+        plan, jnp.exp(jnp.asarray(g)))
+    mdiag = 1.0 / (planes[:, 0] + plan.dir_diag[None]).reshape(B, -1)
+    return mesh, plan, planes, b, mdiag, rng
+
+
+def test_batched_matvec_parity():
+    mesh, plan, planes, b, mdiag, rng = _setup()
+    y_b = stencil_matvec_batched(planes, plan.dir_diag, b)
+    for c in range(b.shape[0]):
+        op = StencilOp(planes=planes[c], dir_diag=plan.dir_diag,
+                       slot=jnp.zeros((0,), jnp.int32), H=plan.H, W=plan.W)
+        np.testing.assert_array_equal(np.asarray(stencil_matvec(op, b[c])),
+                                      np.asarray(y_b[c]))
+
+
+def test_batched_eigdefpcg_parity():
+    """Batched == sequential per chain: counts, x, W' subspace (f64)."""
+    B, nvec, spdim = 3, 8, 24
+    mesh, plan, planes, b, mdiag, rng = _setup(B=B)
+    n = mesh.nnode
+
+    # seed W per chain with eigPCG (Example09's s=1), as chains do
+    Ws = []
+    for c in range(B):
+        op = StencilOp(planes=planes[c], dir_diag=plan.dir_diag,
+                       slot=jnp.zeros((0,), jnp.int32), H=plan.H, W=plan.W)
+        A = Partial(stencil_matvec, op)
+        Mfn = as_precond_op(Partial(lambda d, r: d * r, mdiag[c]))
+        _, _, _, W = _eigpcg_impl(A, Mfn, b[c], jnp.zeros_like(b[c]),
+                                  nvec, spdim, 2000, 1e-7)
+        Ws.append(W)
+    W_b = jnp.stack(Ws)
+
+    # second realization solved with deflation, both ways
+    g2 = rng.normal(size=(B, n)) * 0.4
+    planes2, b2 = jax.vmap(stencil_assemble, in_axes=(None, 0))(
+        plan, jnp.exp(jnp.asarray(g2)))
+    md2 = 1.0 / (planes2[:, 0] + plan.dir_diag[None]).reshape(B, -1)
+
+    xs, its, Wns = [], [], []
+    for c in range(B):
+        op = StencilOp(planes=planes2[c], dir_diag=plan.dir_diag,
+                       slot=jnp.zeros((0,), jnp.int32), H=plan.H, W=plan.W)
+        A = Partial(stencil_matvec, op)
+        x, it, res, Wn = _eigdef_impl(
+            A, as_precond_op(None), b2[c], jnp.zeros_like(b2[c]), Ws[c],
+            nvec, spdim, 2000, 1e-7, True, True, md2[c])
+        xs.append(x)
+        its.append(int(it))
+        Wns.append(Wn)
+
+    Ab = Partial(stencil_matvec_batched, planes2, plan.dir_diag)
+    xb, itb, resb, Wnb = _batched_eigdef_impl(
+        Ab, md2, b2, jnp.zeros_like(b2), W_b, nvec, spdim, 2000, 1e-7)
+
+    assert [int(v) for v in itb] == its
+    for c in range(B):
+        np.testing.assert_allclose(np.asarray(xb[c]), np.asarray(xs[c]),
+                                   rtol=1e-10, atol=1e-12)
+        # harvested deflation subspaces match (projector comparison —
+        # individual columns are sign/rotation ambiguous)
+        Q1, _ = jnp.linalg.qr(Wns[c])
+        Q2, _ = jnp.linalg.qr(Wnb[c])
+        d = float(jnp.max(jnp.abs(Q1 @ Q1.T - Q2 @ Q2.T)))
+        assert d < 1e-10, d
+        # per-chain residual histories align up to each chain's own stop
+        np.testing.assert_allclose(np.asarray(resb[c][:its[c]]),
+                                   np.asarray(resb[c][:its[c]]), rtol=1e-12)
+
+
+def test_batched_chain_step_runs():
+    """make_batched_chain_step: iterations drop along the chain (recycling
+    works through the batched path; Example09's headline phenomenon)."""
+    from krylov_spdes_tpu.chains import (make_batched_chain_step,
+                                         seed_chains_batched,
+                                         prepare_chain_states)
+    B, nvec, spdim = 2, 8, 24
+    mesh = get_mesh(1600, seed=0)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    plan = prepare_stencil_assembly(
+        mesh, maps, lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+    xs, ys = mesh.points[:, 0], mesh.points[:, 1]
+    modes, lams = [], []
+    for a in range(1, 4):
+        for b_ in range(1, 4):
+            modes.append(np.sin(np.pi * a * xs) * np.sin(np.pi * b_ * ys) * 2)
+            lams.append(np.exp(-0.3 * (a * a + b_ * b_)))
+    psi = np.stack(modes, 1).astype(np.asarray(plan.factors).dtype)
+    lam = np.asarray(lams, psi.dtype)
+    states = prepare_chain_states(lam, psi, nchains=B)
+    W, it0 = seed_chains_batched(plan, states, nvec=nvec, spdim=spdim,
+                                 maxit=2000)
+    step = make_batched_chain_step(plan, nvec=nvec, spdim=spdim, maxit=2000)
+    its = [np.asarray(it0)]
+    for _ in range(4):
+        states, W, it, cnt = step(states, W)
+        its.append(np.asarray(it))
+    its = np.stack(its)
+    assert np.all(its[-1] < its[0]), its  # recycling cuts iterations
