@@ -1,0 +1,169 @@
+"""Pallas kernels for the deflation projections of the batched recycler
+(KEPT AS A DOCUMENTED NEGATIVE RESULT — see below; not on the hot path).
+
+Measurement story: XLA lowers the batched tall GEMVs of eigDef-PCG
+(U = G·r with G (B, 2nvec, n)) at ~425 µs for 256 MB at 250k DoF, B=8.
+That looked 9x below "streaming bandwidth" (~5.4 TB/s measured on chained
+elementwise ops) — but the 5.4 TB/s figure turned out to be VMEM-RESIDENT
+loop traffic; true HBM streaming on >VMEM arrays measures ~0.6 TB/s (73% of
+the v5e 819 GB/s spec). XLA's GEMV was therefore already AT the memory
+wall, and these kernels (tuned to one grid axis over n with full-batch
+(B·K, TN) blocks and an unrolled in-kernel chain loop) match it at ~460 µs
+but cannot beat it. They remain correct (interpret-mode tested) and are the
+starting point if the projections ever move to a reduced-precision G, where
+a custom kernel controls the cast placement.
+
+  gemv_rows(G, r)            U[b, k] = Σ_n G[b, k, n] r[b, n]
+  fused_reorth(G, C, r, m)   t_c = Σ_k C[b, k, c] G[b, k, :]   (c = 0, 1)
+                             r' = r − t_0 ; z = m ⊙ r' ; t_1
+                             plus the rᵀr and rᵀz reductions, in ONE pass
+                             over G's first nvec rows (= Wᵀ).
+
+Arrays must be padded to a TN-multiple in n (zero padding — contributions
+vanish); the batched solver pads G/mdiag once per solve and r per call.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TN = 4096
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def pad_n(x, n_pad):
+    """Zero-pad the trailing axis to n_pad."""
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, n_pad - x.shape[-1])]
+    return jnp.pad(x, pad)
+
+
+def _gemv_kernel(B, K, g_ref, r_ref, u_ref, acc):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    g = g_ref[...]                       # (B·K, TN)
+    r = r_ref[...]                       # (B, TN)
+    for b in range(B):
+        acc[b * K:(b + 1) * K] = (acc[b * K:(b + 1) * K]
+                                  + g[b * K:(b + 1) * K] * r[b][None, :])
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _():
+        u_ref[...] = jnp.sum(acc[...], axis=-1, keepdims=True)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def gemv_rows(G, r, interpret: bool = False):
+    """U = G @ r batched: G (B, K, n_pad), r (B, n_pad) -> (B, K).
+    n_pad must be a multiple of TN; K a multiple of 8."""
+    B, K, n_pad = G.shape
+    nblk = n_pad // TN
+    kernel = partial(_gemv_kernel, B, K)
+    U = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((B * K, TN), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, TN), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B * K, 1), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * K, 1), G.dtype),
+        scratch_shapes=[pltpu.VMEM((B * K, TN), G.dtype)],
+        interpret=interpret,
+    )(G.reshape(B * K, n_pad), r)
+    return U.reshape(B, K)
+
+
+def _reorth_kernel(B, K, nvec, c_ref, g_ref, r_ref, m_ref,
+                   rp_ref, z_ref, t1_ref, rtr_ref, rtz_ref, acc):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        for b in range(acc.shape[0]):
+            acc[b, 0] = 0.0
+            acc[b, 1] = 0.0
+
+    g = g_ref[...]                       # (B·K, TN)
+    r = r_ref[...]                       # (B, TN)
+    m = m_ref[...]
+    rp_rows = []
+    z_rows = []
+    t1_rows = []
+    for b in range(B):
+        gb = g[b * K:b * K + nvec]       # (nvec, TN) = Wᵀ rows of chain b
+        t0 = c_ref[b, 0] * gb[0]
+        t1 = c_ref[b, nvec] * gb[0]
+        for k in range(1, nvec):
+            t0 = t0 + c_ref[b, k] * gb[k]
+            t1 = t1 + c_ref[b, nvec + k] * gb[k]
+        rp = r[b] - t0
+        z = m[b] * rp
+        rp_rows.append(rp)
+        z_rows.append(z)
+        t1_rows.append(t1)
+        acc[b, 0] = acc[b, 0] + jnp.sum(rp * rp)
+        acc[b, 1] = acc[b, 1] + jnp.sum(rp * z)
+    rp_ref[...] = jnp.stack(rp_rows)
+    z_ref[...] = jnp.stack(z_rows)
+    t1_ref[...] = jnp.stack(t1_rows)
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _():
+        for b in range(B):
+            rtr_ref[b, 0] = acc[b, 0]
+            rtz_ref[b, 0] = acc[b, 1]
+
+
+@partial(jax.jit, static_argnames=("nvec", "interpret"))
+def fused_reorth(G, C, r, mdiag, nvec: int, interpret: bool = False):
+    """One pass over G[:, :nvec] (= Wᵀ rows):
+      r' = r − Wᵀᵀ C[:, :nvec];  z = mdiag ⊙ r';  t1 = Wᵀᵀ C[:, nvec:]
+    Returns (r', z, t1, rᵀr (B,), rᵀz (B,)).
+
+    G (B, K>=nvec, n_pad); C (B, 2·nvec) flat [c0 | c1]; r, mdiag (B, n_pad).
+    """
+    B, K, n_pad = G.shape
+    nblk = n_pad // TN
+    dtype = r.dtype
+    kernel = partial(_reorth_kernel, B, K, nvec)
+    vec = lambda: pl.BlockSpec((B, TN), lambda j: (0, j),
+                               memory_space=pltpu.VMEM)
+    scl = lambda: pl.BlockSpec((B, 1), lambda j: (0, 0),
+                               memory_space=pltpu.SMEM)
+    rp, z, t1, rtr, rtz = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((B, 2 * nvec), lambda j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((B * K, TN), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            vec(), vec(),
+        ],
+        out_specs=(vec(), vec(), vec(), scl(), scl()),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, n_pad), dtype),
+            jax.ShapeDtypeStruct((B, n_pad), dtype),
+            jax.ShapeDtypeStruct((B, n_pad), dtype),
+            jax.ShapeDtypeStruct((B, 1), dtype),
+            jax.ShapeDtypeStruct((B, 1), dtype),
+        ),
+        scratch_shapes=[pltpu.SMEM((B, 2), dtype)],
+        interpret=interpret,
+    )(C, G.reshape(B * K, n_pad), r, mdiag)
+    return rp, z, t1, rtr[:, 0], rtz[:, 0]

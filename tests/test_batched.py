@@ -127,3 +127,41 @@ def test_batched_chain_step_runs():
         its.append(np.asarray(it))
     its = np.stack(its)
     assert np.all(its[-1] < its[0]), its  # recycling cuts iterations
+
+
+def test_projection_kernels_interpret():
+    """ops/batched_proj.py (documented negative result — kept correct):
+    gemv_rows and fused_reorth match einsum references in interpret mode."""
+    from krylov_spdes_tpu.ops.batched_proj import (gemv_rows, fused_reorth,
+                                                   pad_n, TN)
+    rng = np.random.default_rng(0)
+    B, nvec, n = 3, 8, 5000
+    K = 2 * nvec
+    n_pad = -(-n // TN) * TN
+    G = jnp.asarray(rng.normal(size=(B, K, n)).astype(np.float32))
+    r = jnp.asarray(rng.normal(size=(B, n)).astype(np.float32))
+    m = jnp.asarray(rng.random(size=(B, n)).astype(np.float32) + 0.5)
+    C = jnp.asarray(rng.normal(size=(B, 2 * nvec)).astype(np.float32))
+    Gp, rp_, mp = pad_n(G, n_pad), pad_n(r, n_pad), pad_n(m, n_pad)
+    U = gemv_rows(Gp, rp_, interpret=True)
+    U_ref = jnp.einsum("bkn,bn->bk", G, r)
+    np.testing.assert_allclose(np.asarray(U), np.asarray(U_ref),
+                               rtol=1e-4, atol=1e-4)
+    Wt = pad_n(G[:, :nvec], n_pad)
+    rp2, z2, t12, rtr, rtz = fused_reorth(Wt, C, rp_, mp, nvec,
+                                          interpret=True)
+    t0_ref = jnp.einsum("bk,bkn->bn", C[:, :nvec], G[:, :nvec])
+    t1_ref = jnp.einsum("bk,bkn->bn", C[:, nvec:], G[:, :nvec])
+    rp_ref = r - t0_ref
+    z_ref = m * rp_ref
+    np.testing.assert_allclose(np.asarray(rp2[:, :n]), np.asarray(rp_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z2[:, :n]), np.asarray(z_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t12[:, :n]), np.asarray(t1_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rtr),
+                               np.asarray(jnp.sum(rp_ref ** 2, 1)), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rtz),
+                               np.asarray(jnp.sum(rp_ref * z_ref, 1)),
+                               rtol=1e-5)
