@@ -46,14 +46,29 @@ def _precond_for(plan, M, planes):
     return as_precond_op(M)
 
 
+def _default_basis_dtype(plan, basis_dtype):
+    """bf16 basis storage by default on f32 plans: halves the dominant HBM
+    traffic of the recycled solve; measured iteration counts unchanged (±1).
+    f64 (parity) plans keep the full-precision basis."""
+    if basis_dtype == "none":
+        return None
+    if basis_dtype is None:
+        return (jnp.bfloat16
+                if jnp.dtype(plan.factors.dtype) == jnp.float32 else None)
+    return basis_dtype
+
+
 def make_chain_step(plan: StencilAssemblyPlan, M="jacobi", nvec: int = 20,
                     spdim: int = 61, maxit: int = 500,
-                    rtol: float | None = None):
+                    rtol: float | None = None, basis_dtype=None):
     """Returns `step(state, W) -> (state, W', iters, proposals)` — jitted,
     vmappable. W must be a (n_full, nvec) basis (seed with `seed_chain`).
     M: "jacobi" (per-realization diagonal, default), None, or a pytree
-    callable (must itself be constant across realizations)."""
+    callable (must itself be constant across realizations).
+    basis_dtype: storage dtype of the deflation-projection operands
+    (default: bf16 on f32 plans, full precision on f64; "none" disables)."""
     rtol = effective_rtol(plan.factors.dtype, rtol)
+    basis_dtype = _default_basis_dtype(plan, basis_dtype)
 
     @jax.jit
     def step(state: SamplerState, W):
@@ -68,7 +83,7 @@ def make_chain_step(plan: StencilAssemblyPlan, M="jacobi", nvec: int = 20,
             mdiag = 1.0 / (planes[0] + plan.dir_diag).reshape(-1)
             x, it, res, Wn = _eigdef_impl(A, as_precond_op(None), b, x0, W,
                                           nvec, spdim, maxit, rtol,
-                                          True, True, mdiag)
+                                          True, True, mdiag, basis_dtype)
         else:
             Mfn = _precond_for(plan, M, planes)
             x, it, res, Wn = _eigdef_impl(A, Mfn, b, x0, W, nvec, spdim,
@@ -149,7 +164,7 @@ def run_chains(plan: StencilAssemblyPlan, states, nsmp: int, M="jacobi",
 
 def make_batched_chain_step(plan: StencilAssemblyPlan, nvec: int = 20,
                             spdim: int = 61, maxit: int = 500,
-                            rtol: float | None = None):
+                            rtol: float | None = None, basis_dtype=None):
     """Natively-batched multi-chain step — the production layout for one chip.
 
     `jax.vmap(step)` turns the recycler's restart `lax.cond` into a select
@@ -164,7 +179,7 @@ def make_batched_chain_step(plan: StencilAssemblyPlan, nvec: int = 20,
     from .solvers.batched import _batched_eigdef_impl
 
     rtol = effective_rtol(plan.factors.dtype, rtol)
-    axes = None
+    basis_dtype = _default_basis_dtype(plan, basis_dtype)
 
     @jax.jit
     def step(states: SamplerState, W):
@@ -177,8 +192,9 @@ def make_batched_chain_step(plan: StencilAssemblyPlan, nvec: int = 20,
             b.shape[0], -1)
         A = Partial(stencil_matvec_batched, planes, plan.dir_diag)
         x0 = jnp.zeros_like(b)
-        x, its, res, Wn = _batched_eigdef_impl(A, mdiag, b, x0, W,
-                                               nvec, spdim, maxit, rtol)
+        x, its, res, Wn = _batched_eigdef_impl(A, mdiag, b, x0, W, nvec,
+                                               spdim, maxit, rtol,
+                                               basis_dtype)
         return states, Wn, its, cnt
 
     return step

@@ -49,8 +49,9 @@ def _csolve(cho, rhs):
     return cho_solve(cho, rhs[..., None])[..., 0]
 
 
-@partial(jax.jit, static_argnames=("nvec", "spdim", "maxit"))
-def _batched_eigdef_impl(A, mdiag, b, x0, W, nvec, spdim, maxit, rtol):
+@partial(jax.jit, static_argnames=("nvec", "spdim", "maxit", "basis_dtype"))
+def _batched_eigdef_impl(A, mdiag, b, x0, W, nvec, spdim, maxit, rtol,
+                         basis_dtype=None):
     """Batched fused-diagonal eigDef-PCG.
 
     A: (B, n) -> (B, n) batched operator (pytree callable)
@@ -72,6 +73,10 @@ def _batched_eigdef_impl(A, mdiag, b, x0, W, nvec, spdim, maxit, rtol):
     WtAM = WtA * mdiag[:, None, :]
     K = WtAM @ W
     G = jnp.concatenate([jnp.swapaxes(W, 1, 2), WtAM], axis=1)  # (B,2nvec,n)
+    # bf16 basis storage halves the dominant per-iteration HBM traffic;
+    # accumulation stays f32 (measured: iteration counts unchanged ±1)
+    Gq = G if basis_dtype is None else G.astype(basis_dtype)
+    Wq = W if basis_dtype is None else W.astype(basis_dtype)
 
     V = jnp.zeros((Bn, spdim, n), dtype)
     VtAV = jnp.zeros((Bn, spdim, spdim), dtype)
@@ -114,10 +119,15 @@ def _batched_eigdef_impl(A, mdiag, b, x0, W, nvec, spdim, maxit, rtol):
         x = jnp.where(am, x + alpha[:, None] * p, x)
         rn = r - alpha[:, None] * Ap
         # fused reorth + deflation coefficients: one read of [Wᵀ; WᵀA·m]
-        U = jnp.einsum("bkn,bn->bk", G, rn)
+        U = jnp.einsum("bkn,bn->bk", Gq,
+                       rn if basis_dtype is None else rn.astype(basis_dtype),
+                       preferred_element_type=dtype)
         cw = _csolve(cho_w, U[:, :nvec])
         mu = _csolve(cho, U[:, nvec:] - jnp.einsum("bij,bj->bi", K, cw))
-        T = jnp.einsum("bnk,bkj->bnj", W, jnp.stack([cw, mu], axis=-1))
+        cm = jnp.stack([cw, mu], axis=-1)
+        T = jnp.einsum("bnk,bkj->bnj", Wq,
+                       cm if basis_dtype is None else cm.astype(basis_dtype),
+                       preferred_element_type=dtype)
         rn = rn - T[..., 0]
         rTr = _bdot(rn, rn)
         z = mdiag * rn

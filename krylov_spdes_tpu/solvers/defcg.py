@@ -138,9 +138,9 @@ def defpcg(A, b, x=None, W=None, M=None, maxit: int = 0,
 
 
 @partial(jax.jit, static_argnames=("nvec", "spdim", "maxit", "precond",
-                                   "reorth"))
+                                   "reorth", "basis_dtype"))
 def _eigdef_impl(A, M, b, x0, W, nvec, spdim, maxit, rtol, precond, reorth,
-                 mdiag=None):
+                 mdiag=None, basis_dtype=None):
     """Shared eigdefcg (precond=False) / eigdefpcg (precond=True) body.
 
     When ``mdiag`` is given (and precond & reorth), M is taken to be
@@ -150,6 +150,14 @@ def _eigdef_impl(A, M, b, x0, W, nvec, spdim, maxit, rtol, precond, reorth,
     [(WᵀA·m) W] cw with both factors precomputed. 64 → 48 MB of HBM traffic
     per iteration at n=250k, nvec=16 (f32), and 2 nvec-wide MXU matmuls
     instead of nvec-wide ones.
+
+    ``basis_dtype`` (fused path only): storage dtype for the per-iteration
+    projection operands G = [Wᵀ; WᵀA·m] and W (bf16 halves the dominant HBM
+    traffic of the iteration; accumulation stays f32 via
+    preferred_element_type). Measured on-chip: bf16-quantizing the basis
+    leaves chain iteration counts unchanged (±1) — deflation needs a
+    subspace, not digits. All setup algebra (WᵀAW, Cholesky factors) is
+    computed from the full-precision W.
     """
     fused = mdiag is not None
     assert not fused or (precond and reorth)
@@ -164,6 +172,8 @@ def _eigdef_impl(A, M, b, x0, W, nvec, spdim, maxit, rtol, precond, reorth,
         WtAM = WtA * mdiag[None, :]
         K = WtAM @ W
         G = jnp.concatenate([W.T, WtAM], axis=0)     # (2 nvec, n)
+        Gq = G if basis_dtype is None else G.astype(basis_dtype)
+        Wq = W if basis_dtype is None else W.astype(basis_dtype)
 
     V = jnp.zeros((spdim, n), dtype)
     VtAV = jnp.zeros((spdim, spdim), dtype)
@@ -199,10 +209,15 @@ def _eigdef_impl(A, M, b, x0, W, nvec, spdim, maxit, rtol, precond, reorth,
         r = r - alpha * Ap
         if fused:
             # one read of [Wᵀ; WᵀA·m]: reorth + deflation coefficients
-            U = G @ r
+            U = jnp.einsum("kn,n->k", Gq,
+                           r if basis_dtype is None else r.astype(basis_dtype),
+                           preferred_element_type=dtype)
             cw = cho_solve(cho_w, U[:nvec])          # (defcg.jl:407)
             mu = cho_solve(cho, U[nvec:] - K @ cw)   # = (WᵀAW)⁻¹ WᵀA z
-            T = W @ jnp.stack([cw, mu], axis=1)      # one 2-column pass
+            cm = jnp.stack([cw, mu], axis=1)
+            T = jnp.einsum("nk,kj->nj", Wq,
+                           cm if basis_dtype is None else cm.astype(basis_dtype),
+                           preferred_element_type=dtype)
             r = r - T[:, 0]
             rTr = jnp.vdot(r, r)
             z = mdiag * r

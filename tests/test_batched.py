@@ -165,3 +165,46 @@ def test_projection_kernels_interpret():
     np.testing.assert_allclose(np.asarray(rtz),
                                np.asarray(jnp.sum(rp_ref * z_ref, 1)),
                                rtol=1e-5)
+
+
+def test_bf16_basis_convergence():
+    """basis_dtype=bf16 (the f32-plan default): same-quality convergence,
+    iteration counts within a few % of the full-precision basis when W is a
+    harvested (near-eigenvector) basis, as in the chain workload. (A random
+    W degrades under bf16 — the reorth corrections are large — which is why
+    the default only applies to the chain path where W is harvested.)"""
+    B, nvec, spdim = 2, 8, 24
+    mesh, plan, planes, b, mdiag, rng = _setup(B=B)
+    f32 = jnp.float32
+    planes32, b32, md32 = (planes.astype(f32), b.astype(f32),
+                           mdiag.astype(f32))
+    # seed W with eigPCG per chain (what seed_chains_batched does)
+    Ws = []
+    for c in range(B):
+        op = StencilOp(planes=planes32[c], dir_diag=plan.dir_diag.astype(f32),
+                       slot=jnp.zeros((0,), jnp.int32), H=plan.H, W=plan.W)
+        A1 = Partial(stencil_matvec, op)
+        Mfn = as_precond_op(Partial(lambda d, r: d * r, md32[c]))
+        _, _, _, Wc = _eigpcg_impl(A1, Mfn, b32[c], jnp.zeros_like(b32[c]),
+                                   nvec, spdim, 2000, 1e-5)
+        Ws.append(Wc)
+    W = jnp.stack(Ws)
+    # new realizations for the deflated solve
+    g2 = rng.normal(size=(B, mesh.nnode)) * 0.4
+    planes32, b32 = jax.vmap(stencil_assemble, in_axes=(None, 0))(
+        plan, jnp.exp(jnp.asarray(g2)))
+    planes32, b32 = planes32.astype(f32), b32.astype(f32)
+    md32 = (1.0 / (planes32[:, 0] + plan.dir_diag[None].astype(f32))
+            ).reshape(B, -1)
+    Ab = Partial(stencil_matvec_batched, planes32, plan.dir_diag.astype(f32))
+    outs = {}
+    for bd in (None, jnp.bfloat16):
+        x, its, res, Wn = _batched_eigdef_impl(
+            Ab, md32, b32, jnp.zeros_like(b32), W, nvec, spdim, 2000, 1e-5,
+            basis_dtype=bd)
+        assert Wn.dtype == f32
+        outs[bd] = (np.asarray(its), np.asarray(x))
+    it0, x0 = outs[None]
+    it1, x1 = outs[jnp.bfloat16]
+    assert np.all(np.abs(it1 - it0) <= np.maximum(3, 0.05 * it0)), (it0, it1)
+    np.testing.assert_allclose(x1, x0, rtol=1e-3, atol=1e-5)
