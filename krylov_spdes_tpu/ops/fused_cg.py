@@ -102,18 +102,35 @@ def _check_symmetric(p9: np.ndarray) -> bool:
     return bool(ok)
 
 
-def build_padded_stencil(St: StencilOp, tb: int = 128,
+def _k1_vmem_bytes(TB, K, C):
+    """Scoped-VMEM footprint of the K1 kernel's scratch (2 DMA slots)."""
+    return 4 * C * (2 * K * (TB + 16) + 4 * (TB + 16) + 4 * TB) + 4 * 8 * C
+
+
+def build_padded_stencil(St: StencilOp, tb: int | None = None,
                          sym: bool | None = None) -> PaddedStencil:
     """Build the padded-layout operator from a StencilOp. `sym=None` probes
-    exact symmetry on the host and picks the 5-plane layout when it holds."""
+    exact symmetry on the host and picks the 5-plane layout when it holds.
+    `tb=None` picks the largest row-block that keeps the K1 kernel inside
+    the ~16 MB scoped-VMEM budget (wide grids need smaller blocks)."""
     H, W = St.H, St.W
+    if sym is None:
+        sym_probe = _check_symmetric(np.asarray(St.planes))
+    else:
+        sym_probe = sym
+    Kp = 5 if sym_probe else 9
+    Cp = _cdiv(W + 2, 128) * 128
+    if tb is None:
+        tb = 8
+        for cand in (256, 128, 64, 32, 16):
+            if _k1_vmem_bytes(cand, Kp, Cp) < 13 * 2 ** 20:
+                tb = cand
+                break
     TB = min(tb, _cdiv(max(8, H), 8) * 8)   # 8-sublane-aligned DMA blocks
     nblk = _cdiv(H, TB)
     R = nblk * TB + 16
-    C = _cdiv(W + 2, 128) * 128
-    if sym is None:
-        sym = _check_symmetric(np.asarray(St.planes))
-    K = 5 if sym else 9
+    C = Cp
+    K = Kp
     ps = PaddedStencil(planes=None, H=H, W=W, R=R, C=C, TB=TB, K=K)
     return refill_padded_stencil(ps, St)
 
