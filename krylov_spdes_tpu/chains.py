@@ -58,6 +58,28 @@ def _default_basis_dtype(plan, basis_dtype):
     return basis_dtype
 
 
+def _chain_step_core(plan, state, W, M, nvec, spdim, maxit, rtol,
+                     basis_dtype):
+    """One unbatched chain step: draw -> assemble -> recycled eigDef-PCG."""
+    state, cnt = (_draw_mcmc if state.kind != "mc" else _draw_mc)(state)
+    planes, b = stencil_assemble(plan, jnp.exp(state.g))
+    op = StencilOp(planes=planes, dir_diag=plan.dir_diag,
+                   slot=jnp.zeros((0,), jnp.int32), H=plan.H, W=plan.W)
+    A = Partial(stencil_matvec, op)
+    x0 = jnp.zeros_like(b)
+    if M == "jacobi":
+        # diagonal M -> fused low-traffic eigDef-PCG body
+        mdiag = 1.0 / (planes[0] + plan.dir_diag).reshape(-1)
+        x, it, res, Wn = _eigdef_impl(A, as_precond_op(None), b, x0, W,
+                                      nvec, spdim, maxit, rtol,
+                                      True, True, mdiag, basis_dtype)
+    else:
+        Mfn = _precond_for(plan, M, planes)
+        x, it, res, Wn = _eigdef_impl(A, Mfn, b, x0, W, nvec, spdim,
+                                      maxit, rtol, True, True)
+    return state, Wn, it, cnt
+
+
 def make_chain_step(plan: StencilAssemblyPlan, M="jacobi", nvec: int = 20,
                     spdim: int = 61, maxit: int = 500,
                     rtol: float | None = None, basis_dtype=None):
@@ -72,23 +94,8 @@ def make_chain_step(plan: StencilAssemblyPlan, M="jacobi", nvec: int = 20,
 
     @jax.jit
     def step(state: SamplerState, W):
-        state, cnt = (_draw_mcmc if state.kind != "mc" else _draw_mc)(state)
-        planes, b = stencil_assemble(plan, jnp.exp(state.g))
-        op = StencilOp(planes=planes, dir_diag=plan.dir_diag,
-                       slot=jnp.zeros((0,), jnp.int32), H=plan.H, W=plan.W)
-        A = Partial(stencil_matvec, op)
-        x0 = jnp.zeros_like(b)
-        if M == "jacobi":
-            # diagonal M -> fused low-traffic eigDef-PCG body
-            mdiag = 1.0 / (planes[0] + plan.dir_diag).reshape(-1)
-            x, it, res, Wn = _eigdef_impl(A, as_precond_op(None), b, x0, W,
-                                          nvec, spdim, maxit, rtol,
-                                          True, True, mdiag, basis_dtype)
-        else:
-            Mfn = _precond_for(plan, M, planes)
-            x, it, res, Wn = _eigdef_impl(A, Mfn, b, x0, W, nvec, spdim,
-                                          maxit, rtol, True, True)
-        return state, Wn, it, cnt
+        return _chain_step_core(plan, state, W, M, nvec, spdim, maxit,
+                                rtol, basis_dtype)
 
     return step
 
@@ -219,3 +226,53 @@ def seed_chains_batched(plan: StencilAssemblyPlan, states: SamplerState,
         return W, it
 
     return jax.jit(jax.vmap(one, in_axes=(ax,)))(states)
+
+
+def make_sharded_chain_step(mesh, plan: StencilAssemblyPlan, M="jacobi",
+                            nvec: int = 20, spdim: int = 61,
+                            maxit: int = 500, rtol: float | None = None,
+                            basis_dtype=None, axis: str = "chain"):
+    """Chain parallelism over the device mesh — the TPU-native
+    Example17_Pll (P4, SURVEY.md §2.2): each device along the `axis` mesh
+    axis runs the SEQUENTIAL recycled step for its chains, so the restart
+    `lax.cond` stays a real branch per device (no vmap select blowup) and
+    per-chain HBM traffic stays on that device. Chains beyond one per
+    device are scanned sequentially within the shard.
+
+    states: `prepare_chain_states` output with nchains divisible by the
+    mesh axis size; W: (nchains, n_full, nvec). Returns jitted
+    step(states, W) -> (states, W', its (nchains,), proposals (nchains,)).
+    """
+    import dataclasses as dc
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    rtol = effective_rtol(plan.factors.dtype, rtol)
+    basis_dtype = _default_basis_dtype(plan, basis_dtype)
+
+    def _local(st: SamplerState, Wl):
+        def one(carry, inp):
+            xi, g, key, Wc = inp
+            st1 = _dc.replace(st, xi=xi, g=g, key=key)
+            st1, Wn, it, cnt = _chain_step_core(
+                plan, st1, Wc, M, nvec, spdim, maxit, rtol, basis_dtype)
+            return carry, (st1.xi, st1.g, st1.key, Wn, it, cnt)
+
+        _, (xi, g, key, Wn, it, cnt) = jax.lax.scan(
+            one, 0, (st.xi, st.g, st.key, Wl))
+        return _dc.replace(st, xi=xi, g=g, key=key), Wn, it, cnt
+
+    @jax.jit
+    def step(states: SamplerState, W):
+        sspec = _dc.replace(states, xi=P(axis), g=P(axis), key=P(axis),
+                            sqrt_lam=P(), psi=P())
+        # check_vma off: the recycler's rank-dependent restart makes branch
+        # outputs differ in varying-axis type; every output is per-chain
+        # anyway (fully sharded, no cross-device values).
+        f = shard_map(_local, mesh=mesh,
+                      in_specs=(sspec, P(axis)),
+                      out_specs=(sspec, P(axis), P(axis), P(axis)),
+                      check_vma=False)
+        return f(states, W)
+
+    return step

@@ -78,3 +78,53 @@ def test_compute_dd_kl_sharded_matches_local():
                                  nev=15, device_mesh=dev_mesh)
     k = min(len(lam_a), len(lam_b))
     np.testing.assert_allclose(lam_b[:k], lam_a[:k], rtol=1e-9)
+
+
+def test_sharded_chain_step_matches_sequential():
+    """shard_map chain parallelism (P4, Example17_Pll analogue): 8 chains on
+    the 8-device mesh produce EXACTLY the per-chain sequential results."""
+    import dataclasses as dc
+    from krylov_spdes_tpu.fem.mesh import get_mesh
+    from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+    from krylov_spdes_tpu.fem.stencil_assembly import prepare_stencil_assembly
+    from krylov_spdes_tpu.chains import (prepare_chain_states, seed_chains_batched,
+                                         make_chain_step, make_sharded_chain_step,
+                                         seed_chain)
+    from krylov_spdes_tpu.parallel.sharding import make_mesh
+
+    B, nvec, spdim = 8, 6, 16
+    mesh = get_mesh(900, seed=0)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    plan = prepare_stencil_assembly(
+        mesh, maps, lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+    xs, ys = mesh.points[:, 0], mesh.points[:, 1]
+    modes, lams = [], []
+    for a in range(1, 4):
+        for b_ in range(1, 4):
+            modes.append(np.sin(np.pi * a * xs) * np.sin(np.pi * b_ * ys) * 2)
+            lams.append(np.exp(-0.3 * (a * a + b_ * b_)))
+    psi = np.stack(modes, 1).astype(np.asarray(plan.factors).dtype)
+    lam = np.asarray(lams, psi.dtype)
+    states = prepare_chain_states(lam, psi, nchains=B)
+    W, _ = seed_chains_batched(plan, states, nvec=nvec, spdim=spdim,
+                               maxit=500)
+
+    dmesh = make_mesh(n_dom=1, n_chain=8)
+    sstep = make_sharded_chain_step(dmesh, plan, nvec=nvec, spdim=spdim,
+                                    maxit=500)
+    st_sh, W_sh, it_sh, cnt_sh = sstep(states, W)
+
+    # sequential per-chain reference with the same seeds
+    step = make_chain_step(plan, nvec=nvec, spdim=spdim, maxit=500)
+    for c in range(B):
+        st_c = dc.replace(states, xi=states.xi[c], g=states.g[c],
+                          key=states.key[c])
+        st1, Wn, it, cnt = step(st_c, W[c])
+        assert int(it) == int(it_sh[c])
+        assert int(cnt) == int(cnt_sh[c])
+        # harvested bases compare as subspaces (eigh sign/rotation ambiguity)
+        Q1, _ = jnp.linalg.qr(W_sh[c])
+        Q2, _ = jnp.linalg.qr(Wn)
+        assert float(jnp.max(jnp.abs(Q1 @ Q1.T - Q2 @ Q2.T))) < 1e-9
+        np.testing.assert_allclose(np.asarray(st_sh.g[c]), np.asarray(st1.g),
+                                   rtol=1e-12, atol=1e-14)
