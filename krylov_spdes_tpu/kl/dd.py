@@ -111,21 +111,38 @@ def _local_generalized_eigh(C, M, maskf):
 
 
 def solve_local_kls(sub: KLSubdomains, points, cov, nev: int,
-                    relative: float = 0.99, verbose: bool = False):
+                    relative: float = 0.99, verbose: bool = False,
+                    dom_chunk: int | None = None):
     """Batched local KL eigensolves + per-domain energy truncation
     (solve_local_kl, reference :657-738). Returns (lam_d (ndom, m_max),
     phi_d (ndom, n_max, m_max), m_d (ndom,)) with zero-padded trailing modes,
-    and the total expected energy Σ_d area_d·cov(c_d,c_d)."""
+    and the total expected energy Σ_d area_d·cov(c_d,c_d).
+
+    `dom_chunk` processes subdomains in chunks of that size — the covariance
+    blocks are O(ndom · n_max²) and exceed HBM past ~150k DoF in one batch
+    (e.g. 1M DoF / 512 doms needs ~22 GB unchunked; 64-dom chunks ~2.7 GB)."""
     dtype = sub.M_local.dtype
     pts = jnp.asarray(points, dtype)
-    maskf = jnp.asarray(sub.node_mask.astype(np.float64), dtype)
-    coords = pts[np.maximum(sub.nodes, 0)]               # (ndom, n_max, 2)
-    Chat = cov(coords[:, :, None, :], coords[:, None, :, :])
-    Chat = Chat * maskf[:, :, None] * maskf[:, None, :]
-    C = jnp.einsum("dij,djk,dlk->dil", sub.M_local, Chat, sub.M_local)
-    w, phi = _local_generalized_eigh(C, sub.M_local, maskf)
-    w = np.asarray(w)[:, :nev]
-    phi = np.asarray(phi)[:, :, :nev]
+    maskf_all = jnp.asarray(sub.node_mask.astype(np.float64), dtype)
+    coords_all = pts[np.maximum(sub.nodes, 0)]           # (ndom, n_max, 2)
+
+    @jax.jit
+    def local_chunk(Mloc, coords, maskf):
+        Chat = cov(coords[:, :, None, :], coords[:, None, :, :])
+        Chat = Chat * maskf[:, :, None] * maskf[:, None, :]
+        C = jnp.einsum("dij,djk,dlk->dil", Mloc, Chat, Mloc)
+        return _local_generalized_eigh(C, Mloc, maskf)
+
+    step = dom_chunk or sub.ndom
+    ws, phis = [], []
+    for s in range(0, sub.ndom, step):
+        e = min(s + step, sub.ndom)
+        w_c, phi_c = local_chunk(sub.M_local[s:e], coords_all[s:e],
+                                 maskf_all[s:e])
+        ws.append(np.asarray(w_c)[:, :nev])
+        phis.append(np.asarray(phi_c)[:, :, :nev])
+    w = np.concatenate(ws, axis=0)
+    phi = np.concatenate(phis, axis=0)
 
     # per-domain truncation (energy rule, reference :705-718)
     c = jnp.asarray(sub.centers, dtype)
@@ -262,7 +279,7 @@ def draw_dd(sub: KLSubdomains, lam, V_red, phi_d, key):
 def compute_dd_kl(cells, points, epart, ndom, cov, nev: int,
                   relative_local: float = 0.99, relative_global: float = 0.99,
                   forget: float = -1.0, verbose: bool = False,
-                  device_mesh=None):
+                  device_mesh=None, dom_chunk: int | None = None):
     """End-to-end two-level KL (orchestrates the reference pipeline of
     Example04). With `device_mesh` (a Mesh with a 'dom' axis), the batched
     local eigensolves — the dominant stage — shard over devices: the
@@ -275,7 +292,8 @@ def compute_dd_kl(cells, points, epart, ndom, cov, nev: int,
             sub.M_local, NamedSharding(device_mesh, P("dom")))
     lam_d, phi_d, m_d, energy = solve_local_kls(sub, points, cov, nev,
                                                 relative=relative_local,
-                                                verbose=verbose)
+                                                verbose=verbose,
+                                                dom_chunk=dom_chunk)
     K = assemble_reduced_covariance(sub, points, cov, phi_d, forget=forget)
     lam, psi = solve_global_reduced_kl(points.shape[0], K, energy, sub,
                                        phi_d, relative=relative_global,

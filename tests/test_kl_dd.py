@@ -100,3 +100,25 @@ def test_draw_dd_matches_projected_synthesis():
     g_ref = set_field(jnp.asarray(lam), jnp.asarray(psi), xi)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-9,
                                atol=1e-11)
+
+
+def test_dom_chunked_local_kls_identical():
+    """dom_chunk processes subdomains in chunks (the >150k-DoF memory
+    path); results are identical to the single-batch solve."""
+    import numpy as np
+    from krylov_spdes_tpu.kl.dd import set_kl_subdomains, solve_local_kls
+    from krylov_spdes_tpu.fem.mesh import get_mesh
+    from krylov_spdes_tpu.fem.partition import mesh_partition
+    from krylov_spdes_tpu.kl.covariance import make_cov
+
+    mesh = get_mesh(900, seed=0)
+    epart, _ = mesh_partition(mesh.cells, mesh.points, 6, mesh.cell_neighbors)
+    sub = set_kl_subdomains(mesh.cells, mesh.points, epart, 6)
+    cov = make_cov("SExp", 1.0, 0.3)
+    full = solve_local_kls(sub, mesh.points, cov, nev=10, relative=0.99)
+    chunked = solve_local_kls(sub, mesh.points, cov, nev=10, relative=0.99,
+                              dom_chunk=2)
+    for a, b in zip(full[:2], chunked[:2]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-10, atol=1e-12)
+    np.testing.assert_array_equal(full[2], chunked[2])
