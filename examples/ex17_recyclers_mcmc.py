@@ -21,7 +21,13 @@ def main():
     p.add_argument("--maxit", type=int, default=2000)
     p.add_argument("--fast", action="store_true",
                    help="fully on-device chains (stencil assembly + "
-                        "eigDef-PCG, vmapped over chains)")
+                        "eigDef-PCG, batched over chains)")
+    p.add_argument("--layout", default="batched",
+                   choices=["batched", "vmap", "sharded"],
+                   help="multi-chain layout for --fast: natively-batched "
+                        "solver (default), plain vmap, or shard_map over "
+                        "the device mesh (one chain per device, the "
+                        "Example17_Pll form)")
     args = p.parse_args()
     jax = init_backend(args)
     import jax.numpy as jnp
@@ -42,14 +48,38 @@ def main():
         from krylov_spdes_tpu.fem.stencil_assembly import (
             prepare_stencil_assembly)
         from krylov_spdes_tpu.samplers.samplers import prepare_mcmc_sampler
-        from krylov_spdes_tpu.chains import run_chains
+        from krylov_spdes_tpu.chains import (run_chains, run_chains_batched,
+                                             prepare_chain_states,
+                                             seed_chains_batched,
+                                             make_sharded_chain_step)
         from common import fsrc, uex
         plan = prepare_stencil_assembly(mesh, maps, fsrc, uex)
-        states = jax.vmap(lambda k: prepare_mcmc_sampler(lam, psi, key=k))(
-            jnp.arange(args.nchains, dtype=jnp.uint32))
         t0 = time.time()
-        states, its = run_chains(plan, states, nsmp=args.nsmp, nvec=nvec,
-                                 spdim=spdim, maxit=args.maxit)
+        if args.layout == "vmap":
+            states = jax.vmap(lambda k: prepare_mcmc_sampler(lam, psi,
+                                                             key=k))(
+                jnp.arange(args.nchains, dtype=jnp.uint32))
+            states, its = run_chains(plan, states, nsmp=args.nsmp, nvec=nvec,
+                                     spdim=spdim, maxit=args.maxit)
+        elif args.layout == "sharded":
+            from krylov_spdes_tpu.parallel.sharding import make_mesh
+            states = prepare_chain_states(lam, psi, nchains=args.nchains)
+            dmesh = make_mesh(n_dom=1, n_chain=min(args.nchains,
+                                                   len(jax.devices())))
+            W, it0 = seed_chains_batched(plan, states, nvec=nvec,
+                                         spdim=spdim, maxit=args.maxit)
+            step = make_sharded_chain_step(dmesh, plan, nvec=nvec,
+                                           spdim=spdim, maxit=args.maxit)
+            its_l = [it0]
+            for _ in range(args.nsmp - 1):
+                states, W, it, cnt = step(states, W)
+                its_l.append(it)
+            its = jnp.stack(its_l, axis=1)
+        else:
+            states = prepare_chain_states(lam, psi, nchains=args.nchains)
+            states, its = run_chains_batched(plan, states, nsmp=args.nsmp,
+                                             nvec=nvec, spdim=spdim,
+                                             maxit=args.maxit)
         its = np.asarray(its)
         dt = time.time() - t0
         print(f"on-device chains: {args.nchains}x{args.nsmp} samples in "

@@ -150,9 +150,13 @@ def chain_in_axes(states: SamplerState):
 
 def run_chains(plan: StencilAssemblyPlan, states, nsmp: int, M="jacobi",
                nvec: int = 20, spdim: int = 61, maxit: int = 500):
-    """Batched multi-chain driver. `states` may batch everything (a vmapped
+    """vmapped multi-chain driver. `states` may batch everything (a vmapped
     prepare) or share the basis (prepare_chain_states); the axes spec adapts.
-    Returns (final states, iteration table (nchains, nsmp))."""
+    Returns (final states, iteration table (nchains, nsmp)).
+
+    NOTE: under vmap the recycler's restart branch lowers to a select that
+    runs every iteration — prefer `run_chains_batched` (natively-batched
+    solver) on one device, or `make_sharded_chain_step` across a mesh."""
     step = make_chain_step(plan, M=M, nvec=nvec, spdim=spdim, maxit=maxit)
     shared = states.psi.ndim == 2          # basis not batched
     axes = chain_in_axes(states) if shared else 0
@@ -276,3 +280,21 @@ def make_sharded_chain_step(mesh, plan: StencilAssemblyPlan, M="jacobi",
         return f(states, W)
 
     return step
+
+
+def run_chains_batched(plan: StencilAssemblyPlan, states, nsmp: int,
+                       nvec: int = 20, spdim: int = 61, maxit: int = 500,
+                       rtol: float | None = None, basis_dtype=None):
+    """Multi-chain driver through the natively-batched solver
+    (solvers/batched.py): eigPCG seeding, then nsmp-1 recycled batched
+    steps. Returns (final states, iteration table (nchains, nsmp))."""
+    W, it0 = seed_chains_batched(plan, states, nvec=nvec, spdim=spdim,
+                                 maxit=maxit, rtol=rtol)
+    step = make_batched_chain_step(plan, nvec=nvec, spdim=spdim,
+                                   maxit=maxit, rtol=rtol,
+                                   basis_dtype=basis_dtype)
+    its = [it0]
+    for _ in range(nsmp - 1):
+        states, W, it, cnt = step(states, W)
+        its.append(it)
+    return states, jnp.stack(its, axis=1)
