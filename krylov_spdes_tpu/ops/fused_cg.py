@@ -499,3 +499,98 @@ def vmem_cg(ps: PaddedStencil, b_full, maxit: int = 0, rtol: float = 1e-7,
     tol2 = (jnp.asarray(rtol, bp.dtype) ** 2) * jnp.vdot(bp, bp)
     x, it, res = _vmem_cg_call(ps, planes_flat, bp, maxit, tol2, interpret)
     return unpad_vec(ps, x), it, res
+
+
+def _vmem_pcg_kernel(maxit, R, K, tol2_ref, planes_ref, minv_ref, b_ref,
+                     x_ref, it_ref, res_ref, r_ref, p_ref):
+    """Jacobi-PCG in VMEM (cg.jl:67-109 ordering): z = minv ⊙ r."""
+    dtype = b_ref.dtype
+    tol2 = tol2_ref[0, 0]
+    b = b_ref[...]
+    minv = minv_ref[...]
+    r_ref[...] = b
+    p_ref[...] = jnp.zeros_like(b)
+    x_ref[...] = jnp.zeros_like(b)
+    rTr0 = jnp.sum(b * b)
+    z0 = minv * b
+    rTz0 = jnp.sum(b * z0)
+
+    def cond(c):
+        it, rTr, rTz, beta = c
+        return jnp.logical_and(it < maxit, rTr > tol2)
+
+    def body(c):
+        it, rTr, rTz, beta = c
+        zc = minv * r_ref[...]
+        pn = zc + beta * p_ref[...]
+        p_ref[...] = pn
+        ap = _apply_full(planes_ref, pn, R, K)
+        d = jnp.sum(pn * ap)
+        alpha = rTz / d
+        x_ref[...] = x_ref[...] + alpha * pn
+        rn = r_ref[...] - alpha * ap
+        r_ref[...] = rn
+        rTr_new = jnp.sum(rn * rn)
+        zn = minv * rn
+        rTz_new = jnp.sum(rn * zn)
+        return (it + 1, rTr_new, rTz_new, rTz_new / rTz)
+
+    it, rTr, rTz, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), rTr0, rTz0, jnp.zeros((), dtype)))
+    it_ref[0, 0] = it
+    res_ref[0, 0] = jnp.sqrt(rTr)
+
+
+@partial(jax.jit, static_argnames=("maxit", "interpret"))
+def _vmem_pcg_call(ps: PaddedStencil, planes_flat, minv, bp, maxit, tol2,
+                   interpret=False):
+    R, C, K = ps.R, ps.C, ps.K
+    dtype = bp.dtype
+    kernel = partial(_vmem_pcg_kernel, maxit, R, K)
+    x, it, res = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # planes
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # minv
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, C), dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R, C), dtype),
+            pltpu.VMEM((R, C), dtype),
+        ],
+        interpret=interpret,
+    )(tol2.reshape(1, 1), planes_flat, minv, bp)
+    return x, it[0, 0], res[0, 0]
+
+
+def vmem_pcg(ps: PaddedStencil, b_full, mdiag_full=None, maxit: int = 0,
+             rtol: float = 1e-7, interpret: bool = False):
+    """Whole-solve Jacobi-PCG in VMEM. `mdiag_full` (n,) is the operator
+    diagonal (defaults to the stencil's own diagonal, the Jacobi choice);
+    the kernel applies M⁻¹ = diag(1/mdiag). Same iteration semantics as
+    solvers.pcg (cg.jl:67-109). Returns (x_full, it, final ||r||)."""
+    n = ps.H * ps.W
+    maxit = n if maxit == 0 else maxit
+    bp = pad_vec(ps, jnp.asarray(b_full))
+    planes_flat = _unblock_planes(ps)
+    if mdiag_full is None:
+        diag = planes_flat[:ps.R]          # K-plane 0 = diag (incl Dirichlet)
+    else:
+        diag = pad_vec(ps, jnp.asarray(mdiag_full))
+    # zero-padding -> 0 inverse (padded lanes never contribute)
+    minv = jnp.where(diag != 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
+    tol2 = (jnp.asarray(rtol, bp.dtype) ** 2) * jnp.vdot(bp, bp)
+    x, it, res = _vmem_pcg_call(ps, planes_flat, minv.astype(bp.dtype), bp,
+                                maxit, tol2, interpret)
+    return unpad_vec(ps, x), it, res

@@ -102,3 +102,19 @@ def test_pad_roundtrip():
     arr = np.asarray(xp)
     assert np.all(arr[:8] == 0) and np.all(arr[8 + ps.H:] == 0)
     assert np.all(arr[:, 0] == 0) and np.all(arr[:, 1 + ps.W:] == 0)
+
+
+@pytest.mark.parametrize("sym", [False, True])
+def test_vmem_pcg_parity(sym):
+    """Whole-solve Jacobi-PCG in VMEM: f64 iteration parity with solvers.pcg
+    (interpret mode)."""
+    _, _, _, _, St, b_full = _setup(seed=7, coeff_seed=2)
+    dinv = 1.0 / St.diagonal()
+    from krylov_spdes_tpu.solvers.cg import pcg
+    from krylov_spdes_tpu.ops.fused_cg import vmem_pcg
+    r_ref = pcg(St, b_full, M=lambda v: dinv * v, maxit=1500)
+    ps = build_padded_stencil(St, tb=16, sym=sym)
+    x, it, res = vmem_pcg(ps, b_full, maxit=1500, interpret=True)
+    assert abs(int(it) - int(r_ref.it)) <= (2 if sym else 0)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(r_ref.x),
+                               rtol=1e-6, atol=1e-9)
