@@ -370,6 +370,66 @@ def fused_cg(ps: PaddedStencil, b_full, maxit: int = 0,
     return unpad_vec(ps, x), it, res
 
 
+@partial(jax.jit, static_argnames=("maxit", "interpret"))
+def _fused_pcg_impl(ps: PaddedStencil, minv, bp, maxit, rtol, interpret):
+    dtype = bp.dtype
+    rTr0 = jnp.vdot(bp, bp)
+    res0 = jnp.sqrt(rTr0)
+    tol = rtol.astype(dtype) * res0
+    res_norm = jnp.zeros((maxit,), dtype).at[0].set(res0)
+    x = jnp.zeros_like(bp)
+    z0 = minv * bp
+    rTz0 = jnp.vdot(bp, z0)
+
+    def cond(c):
+        x, r, z, p, rTz, beta, it, res_norm = c
+        return (it < maxit) & (res_norm[it - 1] > tol)
+
+    def body(c):
+        x, r, z, p, rTz, beta, it, res_norm = c
+        # K1 with z in place of r: pn = z + β·p, Ap, d — kernel unchanged
+        pn, ap, d = _k1(ps, z, p, beta, interpret=interpret)
+        alpha = rTz / d
+        x = x + alpha * pn
+        r = r - alpha * ap
+        zn = minv * r
+        rTz_new = jnp.vdot(r, zn)
+        beta_new = rTz_new / rTz
+        res_norm = res_norm.at[it].set(jnp.sqrt(jnp.vdot(r, r)))
+        return (x, r, zn, pn, rTz_new, beta_new, it + 1, res_norm)
+
+    c0 = (x, bp, z0, jnp.zeros_like(bp), rTz0, jnp.zeros((), dtype),
+          jnp.int32(1), res_norm)
+    x, r, z, p, rTz, beta, it, res_norm = jax.lax.while_loop(cond, body, c0)
+    return x, it, res_norm
+
+
+def _jacobi_minv(ps: PaddedStencil, planes_flat, mdiag_full):
+    """Padded (R, C) inverse-diagonal; zero on padded lanes/rows."""
+    if mdiag_full is None:
+        diag = planes_flat[:ps.R]        # K-plane 0 = diag (incl Dirichlet)
+    else:
+        diag = pad_vec(ps, jnp.asarray(mdiag_full))
+    return jnp.where(diag != 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
+
+
+def fused_pcg(ps: PaddedStencil, b_full, mdiag_full=None, maxit: int = 0,
+              rtol: float = 1e-7, interpret: bool = False):
+    """Jacobi-PCG on the padded stencil layout — the ANY-size fast path
+    (the manual-DMA K1 sweep streams from HBM; nothing needs to fit VMEM).
+    `mdiag_full` (n,) overrides the Jacobi diagonal (defaults to A's own).
+    Same iteration semantics as solvers.pcg (cg.jl:67-109).
+    Returns (x_full (n,), it, res_norm history)."""
+    n = ps.H * ps.W
+    maxit = n if maxit == 0 else maxit
+    bp = pad_vec(ps, jnp.asarray(b_full))
+    planes_flat = _unblock_planes(ps)
+    minv = _jacobi_minv(ps, planes_flat, mdiag_full).astype(bp.dtype)
+    x, it, res = _fused_pcg_impl(ps, minv, bp, maxit,
+                                 jnp.asarray(rtol, bp.dtype), interpret)
+    return unpad_vec(ps, x), it, res
+
+
 # ---------------------------------------------------------------------------
 # Whole-solve-in-VMEM CG: one pallas_call for the ENTIRE solve.
 #
@@ -584,12 +644,7 @@ def vmem_pcg(ps: PaddedStencil, b_full, mdiag_full=None, maxit: int = 0,
     maxit = n if maxit == 0 else maxit
     bp = pad_vec(ps, jnp.asarray(b_full))
     planes_flat = _unblock_planes(ps)
-    if mdiag_full is None:
-        diag = planes_flat[:ps.R]          # K-plane 0 = diag (incl Dirichlet)
-    else:
-        diag = pad_vec(ps, jnp.asarray(mdiag_full))
-    # zero-padding -> 0 inverse (padded lanes never contribute)
-    minv = jnp.where(diag != 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
+    minv = _jacobi_minv(ps, planes_flat, mdiag_full)
     tol2 = (jnp.asarray(rtol, bp.dtype) ** 2) * jnp.vdot(bp, bp)
     x, it, res = _vmem_pcg_call(ps, planes_flat, minv.astype(bp.dtype), bp,
                                 maxit, tol2, interpret)

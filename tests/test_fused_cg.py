@@ -105,6 +105,24 @@ def test_pad_roundtrip():
 
 
 @pytest.mark.parametrize("sym", [False, True])
+def test_fused_pcg_parity(sym):
+    """Any-size streaming Jacobi-PCG: f64 iteration parity with solvers.pcg
+    (interpret mode)."""
+    _, _, _, _, St, b_full = _setup(seed=7, coeff_seed=2)
+    dinv = 1.0 / St.diagonal()
+    from krylov_spdes_tpu.solvers.cg import pcg
+    from krylov_spdes_tpu.ops.fused_cg import fused_pcg
+    r_ref = pcg(St, b_full, M=lambda v: dinv * v, maxit=1500)
+    ps = build_padded_stencil(St, tb=16, sym=sym)
+    x, it, res = fused_pcg(ps, b_full, maxit=1500, interpret=True)
+    assert abs(int(it) - int(r_ref.it)) <= (2 if sym else 0)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(r_ref.x),
+                               rtol=1e-6, atol=1e-9)
+    tol = 1e-7 * float(np.linalg.norm(np.asarray(b_full)))
+    assert float(res[int(it) - 1]) <= tol
+
+
+@pytest.mark.parametrize("sym", [False, True])
 def test_vmem_pcg_parity(sym):
     """Whole-solve Jacobi-PCG in VMEM: f64 iteration parity with solvers.pcg
     (interpret mode)."""
