@@ -1,0 +1,498 @@
+"""Schur-DD recycled MCMC chains — the framework's flagship composition.
+
+The reference's north-star workload (BASELINE.md, SURVEY.md §3.4) runs MCMC
+chains of correlated stiffness systems and solves each sample with a recycled
+deflated solver over domain-decomposition operators:
+Example09_DefPcgMcmcStochasticEllipticPde_Functions.jl:139-509 (eigdefpcg per
+sample along chains) composed with Example07_PcgSchurStochasticEllipticPde.jl
+:86-424 (Schur operators + Neumann-Neumann preconditioning per realization).
+
+Here the whole per-sample pipeline is ONE compiled program with zero host
+round-trips:
+
+    RW-Metropolis KL draw  ->  exp(g)  ->  batched DD block refill
+    (fem.dd.assemble_dd_values)  ->  batched interior Cholesky  ->  Schur
+    condensation  ->  NN preconditioner  ->  recycled eigDef-PCG on the
+    interface system  ->  new deflation basis W'
+
+Three layouts:
+
+- `make_dd_chain_step`      — single chain, jitted (one chip).
+- `make_sharded_dd_chain_step` — chain axis over the device mesh (P4,
+  Example17_Pll's process-per-chain): each device runs the SEQUENTIAL
+  recycled step for its chains, restart `lax.cond` stays a real branch.
+- `make_dom_sharded_dd_chain_step` — the full 2D (dom × chain) layout (P3 +
+  P5): the batched DD blocks (and the element-contribution scatter itself)
+  are sharded over the `dom` mesh axis and every Γ-level reduction — the DD
+  halo exchange the reference only sketched
+  (Fem/EllipticPdePllDomainDecomposition.jl:1-19) — is an explicit
+  `lax.psum` over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.tree_util import Partial
+
+from .fem.dd import DDAssemblyPlan, DDPartition, assemble_dd_values
+from .fem.schur import (SchurOperator, prepare_schur_operator, get_schur_rhs,
+                        prepare_neumann_neumann_schur_precond,
+                        assemble_local_schurs, factorize_interiors,
+                        interior_solve, _masked_pinv)
+from .samplers.samplers import SamplerState, _draw_mcmc, _draw_mc
+from .solvers.base import as_precond_op, static_bind
+from .solvers.defcg import _eigdef_impl
+from .solvers.eigcg import _eigpcg_impl
+from .chains import effective_rtol
+
+
+# ---------------------------------------------------------------------------
+# Single-chain (one device) layout
+# ---------------------------------------------------------------------------
+
+def dd_solve_operands(plan: DDAssemblyPlan, part: DDPartition, coeff_nodes):
+    """Refill + condense one realization: (S, b_schur, b_I)."""
+    A_II, A_IG, A_GGd, b_I, b_G = assemble_dd_values(plan, coeff_nodes)
+    S = prepare_schur_operator(plan, part, A_II, A_IG, A_GGd)
+    return S, get_schur_rhs(S, b_I, b_G), b_I
+
+
+def _dd_chain_step_core(plan, part, state, W, M_const, nvec, spdim, maxit,
+                        rtol):
+    """One unbatched DD chain step: draw -> refill -> condense -> NN ->
+    recycled eigDef-PCG on the interface system."""
+    state, cnt = (_draw_mcmc if state.kind != "mc" else _draw_mc)(state)
+    S, b_s, b_I = dd_solve_operands(plan, part, jnp.exp(state.g))
+    M = (prepare_neumann_neumann_schur_precond(S) if M_const is None
+         else M_const)
+    x0 = jnp.zeros_like(b_s)
+    x, it, res, Wn = _eigdef_impl(S.as_partial_op(), M, b_s, x0, W, nvec,
+                                  spdim, maxit, rtol, True, True)
+    return state, Wn, it, cnt
+
+
+def seed_dd_chain(plan: DDAssemblyPlan, part: DDPartition,
+                  state: SamplerState, nvec: int, spdim: int,
+                  maxit: int = 500, rtol: float | None = None,
+                  constant_precond: bool = False):
+    """First solve of a chain with eigPCG on the Schur system to harvest the
+    initial deflation basis (Example09's s=1 seeding). Returns (W, it, M):
+    M is the seed realization's NN preconditioner when
+    ``constant_precond`` (the reference Example07/09 "constant" arm —
+    Example06:95-134 compares it against per-sample rebuilds), else None."""
+    rtol = effective_rtol(plan.kflat.dtype, rtol)
+    S, b_s, _ = dd_solve_operands(plan, part, jnp.exp(state.g))
+    M = prepare_neumann_neumann_schur_precond(S)
+    x, it, res, W = _eigpcg_impl(S.as_partial_op(), M, b_s,
+                                 jnp.zeros_like(b_s), nvec, spdim, maxit,
+                                 rtol)
+    return W, it, (M if constant_precond else None)
+
+
+def make_dd_chain_step(plan: DDAssemblyPlan, part: DDPartition,
+                       nvec: int = 20, spdim: int = 61, maxit: int = 500,
+                       rtol: float | None = None, M_const=None):
+    """Returns `step(state, W) -> (state, W', iters, proposals)` — jitted.
+
+    W must be an (n_gamma, nvec) basis (seed with `seed_dd_chain`).
+    M_const=None rebuilds the NN Schur preconditioner from each realization's
+    own blocks (Example07's "rebuilt" arm — one batched SVD pinv per sample);
+    pass the seed preconditioner for the constant arm."""
+    rtol = effective_rtol(plan.kflat.dtype, rtol)
+
+    @jax.jit
+    def step(state: SamplerState, W):
+        return _dd_chain_step_core(plan, part, state, W, M_const, nvec,
+                                   spdim, maxit, rtol)
+
+    return step
+
+
+def run_dd_chains(plan: DDAssemblyPlan, part: DDPartition, states_list,
+                  nsmp: int, nvec: int = 20, spdim: int = 61,
+                  maxit: int = 500, rtol: float | None = None,
+                  constant_precond: bool = False):
+    """Host-loop multi-chain driver (example/benchmark surface). Takes a list
+    of per-chain SamplerStates; returns (states, iters (nchains, nsmp),
+    proposals (nchains, nsmp))."""
+    nchains = len(states_list)
+    iters = np.zeros((nchains, nsmp), dtype=np.int64)
+    props = np.ones((nchains, nsmp), dtype=np.int64)
+    out_states = []
+    step_rebuild = make_dd_chain_step(plan, part, nvec=nvec, spdim=spdim,
+                                      maxit=maxit, rtol=rtol)
+    for ic, state in enumerate(states_list):
+        W, it0, M = seed_dd_chain(plan, part, state, nvec, spdim, maxit,
+                                  rtol, constant_precond=constant_precond)
+        iters[ic, 0] = int(it0)
+        step = (make_dd_chain_step(plan, part, nvec=nvec, spdim=spdim,
+                                   maxit=maxit, rtol=rtol, M_const=M)
+                if constant_precond else step_rebuild)
+        for s in range(1, nsmp):
+            state, W, it, cnt = step(state, W)
+            iters[ic, s] = int(it)
+            props[ic, s] = int(cnt)
+        out_states.append(state)
+    return out_states, iters, props
+
+
+# ---------------------------------------------------------------------------
+# Chain-parallel layout (P4): shard_map over the `chain` mesh axis
+# ---------------------------------------------------------------------------
+
+def make_sharded_dd_chain_step(mesh, plan: DDAssemblyPlan, part: DDPartition,
+                               nvec: int = 20, spdim: int = 61,
+                               maxit: int = 500, rtol: float | None = None,
+                               axis: str = "chain"):
+    """Chain parallelism for the DD flagship: each device along `axis` runs
+    the sequential recycled DD step for its chains (scan within the shard).
+
+    states: `chains.prepare_chain_states` output with nchains divisible by
+    the mesh axis size; W: (nchains, n_gamma, nvec)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    rtol = effective_rtol(plan.kflat.dtype, rtol)
+
+    def _local(st: SamplerState, Wl):
+        def one(carry, inp):
+            xi, g, key, Wc = inp
+            st1 = dataclasses.replace(st, xi=xi, g=g, key=key)
+            st1, Wn, it, cnt = _dd_chain_step_core(
+                plan, part, st1, Wc, None, nvec, spdim, maxit, rtol)
+            return carry, (st1.xi, st1.g, st1.key, Wn, it, cnt)
+
+        _, (xi, g, key, Wn, it, cnt) = jax.lax.scan(
+            one, 0, (st.xi, st.g, st.key, Wl))
+        return dataclasses.replace(st, xi=xi, g=g, key=key), Wn, it, cnt
+
+    @jax.jit
+    def step(states: SamplerState, W):
+        sspec = dataclasses.replace(states, xi=P(axis), g=P(axis),
+                                    key=P(axis), sqrt_lam=P(), psi=P())
+        f = shard_map(_local, mesh=mesh,
+                      in_specs=(sspec, P(axis)),
+                      out_specs=(sspec, P(axis), P(axis), P(axis)),
+                      check_vma=False)
+        return f(states, W)
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Dom-sharded assembly plan (P3): element-contribution scatter split by the
+# subdomain that owns each contribution, padded to a common length per shard
+# ---------------------------------------------------------------------------
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["cells", "kflat", "eflat", "tgt", "bI_fac", "bI_slot",
+                      "bI_elem", "bG_fac", "bG_slot", "bG_elem", "bI_fixed",
+                      "bG_fixed", "imask", "gmask", "g2g", "gamma_cnt"],
+         meta_fields=["n_shards", "dpl", "nI", "nG", "n_gamma"])
+@dataclasses.dataclass
+class ShardedDDPlan:
+    """Per-shard DD assembly + Schur index data, leading axis = n_shards.
+
+    Shard s owns subdomains [s·dpl, (s+1)·dpl). `tgt` holds LOCAL flat
+    destinations into the shard's (dpl·nI·nI | dpl·nI·nG | dpl·nG·nG) block
+    store; padding entries point one past the end and are dropped by the
+    scatter (XLA out-of-bounds-drop semantics). `bG_*` contributions scatter
+    into the GLOBAL Γ vector and are summed across shards with a psum;
+    `bG_fixed` is replicated and added once after the psum."""
+    cells: jnp.ndarray       # (nel, 3) replicated
+    kflat: jnp.ndarray       # (n_shards, cmax)
+    eflat: jnp.ndarray       # (n_shards, cmax)
+    tgt: jnp.ndarray         # (n_shards, cmax) local flat index (pad = total)
+    bI_fac: jnp.ndarray      # (n_shards, bimax)
+    bI_slot: jnp.ndarray     # (n_shards, bimax) local d*nI+i (pad = dpl*nI)
+    bI_elem: jnp.ndarray     # (n_shards, bimax)
+    bG_fac: jnp.ndarray      # (n_shards, bgmax)
+    bG_slot: jnp.ndarray     # (n_shards, bgmax) GLOBAL Γ index (pad=n_gamma)
+    bG_elem: jnp.ndarray     # (n_shards, bgmax)
+    bI_fixed: jnp.ndarray    # (n_shards, dpl, nI)
+    bG_fixed: jnp.ndarray    # (n_gamma,) replicated
+    imask: jnp.ndarray       # (n_shards, dpl, nI)
+    gmask: jnp.ndarray       # (n_shards, dpl, nG)
+    g2g: jnp.ndarray         # (n_shards, dpl, nG) global Γ index (0 pad)
+    gamma_cnt: jnp.ndarray   # (n_gamma,) replicated
+    n_shards: int
+    dpl: int                 # doms per shard
+    nI: int
+    nG: int
+    n_gamma: int
+
+
+def _pad_rows(rows, pad_val, dtype):
+    """Stack ragged 1-D arrays into (n_shards, max_len) with pad_val."""
+    mx = max(1, max(r.shape[0] for r in rows))
+    out = np.full((len(rows), mx), pad_val, dtype=dtype)
+    for i, r in enumerate(rows):
+        out[i, :r.shape[0]] = r
+    return out
+
+
+def shard_dd_assembly_plan(plan: DDAssemblyPlan, part: DDPartition,
+                           n_shards: int) -> ShardedDDPlan:
+    """Host-side split of a DDAssemblyPlan into n_shards dom-contiguous
+    shards (ndom must divide evenly). The per-contribution owning subdomain
+    is recovered from the flat target index."""
+    ndom, nI, nG = plan.ndom, plan.nI, plan.nG
+    assert ndom % n_shards == 0, (ndom, n_shards)
+    dpl = ndom // n_shards
+    tgt = np.asarray(plan.tgt_flat)
+    kflat = np.asarray(plan.kflat)
+    eflat = np.asarray(plan.eflat)
+
+    o1 = ndom * nI * nI
+    o2 = o1 + ndom * nI * nG
+    # owning dom + local offset of each contribution
+    seg_ii = tgt < o1
+    seg_ig = (tgt >= o1) & (tgt < o2)
+    seg_gg = tgt >= o2
+    dom = np.where(seg_ii, tgt // (nI * nI),
+                   np.where(seg_ig, (tgt - o1) // (nI * nG),
+                            (tgt - o2) // (nG * nG)))
+    rem = np.where(seg_ii, tgt % (nI * nI),
+                   np.where(seg_ig, (tgt - o1) % (nI * nG),
+                            (tgt - o2) % (nG * nG)))
+    shard = dom // dpl
+    dloc = dom % dpl
+    l1 = dpl * nI * nI
+    l2 = l1 + dpl * nI * nG
+    loc = np.where(seg_ii, dloc * nI * nI + rem,
+                   np.where(seg_ig, l1 + dloc * nI * nG + rem,
+                            l2 + dloc * nG * nG + rem))
+    total_local = dpl * (nI * nI + nI * nG + nG * nG)
+
+    k_rows, e_rows, t_rows = [], [], []
+    for s in range(n_shards):
+        m = shard == s
+        k_rows.append(kflat[m])
+        e_rows.append(eflat[m])
+        t_rows.append(loc[m])
+    kfl = _pad_rows(k_rows, 0.0, kflat.dtype)
+    efl = _pad_rows(e_rows, 0, np.int32)
+    tfl = _pad_rows(t_rows, total_local, np.int64)
+
+    # b_I lift contributions: slot = d*nI + i
+    bslot = np.asarray(plan.bI_slot)
+    bdom = bslot // nI
+    bsh = bdom // dpl
+    bloc = (bdom % dpl) * nI + bslot % nI
+    bi_f, bi_s, bi_e = [], [], []
+    for s in range(n_shards):
+        m = bsh == s
+        bi_f.append(np.asarray(plan.bI_fac)[m])
+        bi_s.append(bloc[m])
+        bi_e.append(np.asarray(plan.bI_elem)[m])
+    bI_fac = _pad_rows(bi_f, 0.0, kflat.dtype)
+    bI_slot = _pad_rows(bi_s, dpl * nI, np.int32)
+    bI_elem = _pad_rows(bi_e, 0, np.int32)
+
+    # b_Γ lift contributions: global Γ slots, split round-robin (summed by
+    # the psum anyway — shard choice only affects load balance)
+    gslot = np.asarray(plan.bG_slot)
+    gsh = np.arange(gslot.shape[0]) % n_shards
+    bg_f, bg_s, bg_e = [], [], []
+    for s in range(n_shards):
+        m = gsh == s
+        bg_f.append(np.asarray(plan.bG_fac)[m])
+        bg_s.append(gslot[m])
+        bg_e.append(np.asarray(plan.bG_elem)[m])
+    bG_fac = _pad_rows(bg_f, 0.0, kflat.dtype)
+    bG_slot = _pad_rows(bg_s, plan.n_gamma, np.int32)
+    bG_elem = _pad_rows(bg_e, 0, np.int32)
+
+    rs = lambda a: np.asarray(a).reshape(n_shards, dpl, *a.shape[1:])
+    g2g = np.maximum(np.asarray(part.gammad_to_gamma), 0)
+
+    dt = plan.kflat.dtype
+    return ShardedDDPlan(
+        cells=plan.cells,
+        kflat=jnp.asarray(kfl, dt), eflat=jnp.asarray(efl),
+        tgt=jnp.asarray(tfl),
+        bI_fac=jnp.asarray(bI_fac, dt), bI_slot=jnp.asarray(bI_slot),
+        bI_elem=jnp.asarray(bI_elem),
+        bG_fac=jnp.asarray(bG_fac, dt), bG_slot=jnp.asarray(bG_slot),
+        bG_elem=jnp.asarray(bG_elem),
+        bI_fixed=jnp.asarray(rs(plan.bI_fixed), dt),
+        bG_fixed=plan.bG_fixed,
+        imask=jnp.asarray(rs(plan.imask), dt),
+        gmask=jnp.asarray(rs(plan.gmask), dt),
+        g2g=jnp.asarray(rs(g2g)),
+        gamma_cnt=jnp.asarray(np.asarray(part.gamma_cnt), dt),
+        n_shards=n_shards, dpl=dpl, nI=nI, nG=nG, n_gamma=plan.n_gamma)
+
+
+# --- local (per-shard) Schur algebra with explicit psum halo exchange ------
+
+def _local_assemble(sp: ShardedDDPlan, coeff_e, axis):
+    """Per-shard block refill; returns local (A_II, A_IG, A_GGd, b_I) and
+    the GLOBAL b_G (psum across shards). All inputs are the squeezed local
+    slices of the sharded plan."""
+    dpl, nI, nG = sp.dpl, sp.nI, sp.nG
+    vals = coeff_e[sp.eflat] * sp.kflat
+    total = dpl * (nI * nI + nI * nG + nG * nG)
+    flat = jnp.zeros((total,), vals.dtype).at[sp.tgt].add(
+        vals, mode="drop")
+    o1 = dpl * nI * nI
+    o2 = o1 + dpl * nI * nG
+    A_II = flat[:o1].reshape(dpl, nI, nI)
+    A_IG = flat[o1:o2].reshape(dpl, nI, nG)
+    A_GGd = flat[o2:].reshape(dpl, nG, nG)
+    b_I = sp.bI_fixed + jnp.zeros((dpl * nI,), vals.dtype).at[
+        sp.bI_slot].add(coeff_e[sp.bI_elem] * sp.bI_fac,
+                        mode="drop").reshape(dpl, nI)
+    bg_part = jnp.zeros((sp.n_gamma,), vals.dtype).at[sp.bG_slot].add(
+        coeff_e[sp.bG_elem] * sp.bG_fac, mode="drop")
+    b_G = sp.bG_fixed + jax.lax.psum(bg_part, axis)
+    return A_II, A_IG, A_GGd, b_I, b_G
+
+
+def _schur_mv_psum(n_gamma, axis, L, A_IG, A_GGd, g2g, gmask, x):
+    """Local Schur matvec + psum halo exchange (the sharded S x)."""
+    xd = x[g2g] * gmask
+    t1 = jnp.einsum("dgh,dh->dg", A_GGd, xd)
+    v = jnp.einsum("dig,dg->di", A_IG, xd)
+    w = interior_solve(L, v)
+    t2 = jnp.einsum("dig,di->dg", A_IG, w)
+    Sdxd = (t1 - t2) * gmask
+    part = jnp.zeros((n_gamma,), x.dtype).at[g2g.reshape(-1)].add(
+        Sdxd.reshape(-1))
+    return jax.lax.psum(part, axis)
+
+
+def _nn_psum(n_gamma, axis, PiSd, g2g, gmask, cnt_inv, r):
+    """Local NN apply + psum (multiplicity-weighted scatter/gather)."""
+    rd = (r * cnt_inv)[g2g] * gmask
+    zd = jnp.einsum("dgh,dh->dg", PiSd, rd) * gmask
+    z = jnp.zeros((n_gamma,), r.dtype).at[g2g.reshape(-1)].add(
+        zd.reshape(-1))
+    return jax.lax.psum(z, axis) * cnt_inv
+
+
+def _local_condense(sp: ShardedDDPlan, coeff, axis):
+    """coeff -> (A operator, M preconditioner, b_schur) with the dom axis
+    local and every Γ reduction an explicit psum over `axis`."""
+    coeff_e = jnp.mean(coeff[sp.cells], axis=1)
+    A_II, A_IG, A_GGd, b_I, b_G = _local_assemble(sp, coeff_e, axis)
+    L = factorize_interiors(A_II, sp.imask)
+    A_IG = A_IG * sp.imask[:, :, None] * sp.gmask[:, None, :]
+    A_GGd = A_GGd * sp.gmask[:, :, None] * sp.gmask[:, None, :]
+    # b_schur = b_Γ − psum(scatter(A_IΓᵀ A_II⁻¹ b_I))
+    v = interior_solve(L, b_I)
+    w = jnp.einsum("dig,di->dg", A_IG, v) * sp.gmask
+    part = jnp.zeros_like(b_G).at[sp.g2g.reshape(-1)].add(w.reshape(-1))
+    b_s = b_G - jax.lax.psum(part, axis)
+    # local Schur blocks -> NN pinv (batched over the local dom shard)
+    W = interior_solve(L, A_IG)
+    Sd = (A_GGd - jnp.einsum("dig,dih->dgh", A_IG, W)) \
+        * sp.gmask[:, :, None] * sp.gmask[:, None, :]
+    PiSd = _masked_pinv(Sd, sp.gmask)
+    cnt_inv = 1.0 / sp.gamma_cnt
+    A = Partial(static_bind(_schur_mv_psum, sp.n_gamma, axis), L, A_IG,
+                A_GGd, sp.g2g, sp.gmask)
+    M = Partial(static_bind(_nn_psum, sp.n_gamma, axis), PiSd, sp.g2g,
+                sp.gmask, cnt_inv)
+    return A, M, b_s
+
+
+def make_dom_sharded_dd_chain_step(mesh, plan: DDAssemblyPlan,
+                                   part: DDPartition, nvec: int = 20,
+                                   spdim: int = 61, maxit: int = 500,
+                                   rtol: float | None = None,
+                                   dom_axis: str = "dom",
+                                   chain_axis: str = "chain"):
+    """The full 2D flagship layout: chains over `chain_axis`, the batched DD
+    blocks + assembly scatter over `dom_axis`, Γ exchange as psum.
+
+    Returns (step, seed) where
+      step(states, W)  -> (states, W', its, proposals)   [one recycled sample]
+      seed(states)     -> (W, its)                        [eigPCG seeding]
+    states from `chains.prepare_chain_states`; nchains divisible by the chain
+    axis; ndom divisible by the dom axis. W: (nchains, n_gamma, nvec)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    rtol = effective_rtol(plan.kflat.dtype, rtol)
+    n_dom_shards = mesh.shape[dom_axis]
+    splan = shard_dd_assembly_plan(plan, part, n_dom_shards)
+    # shard specs for the plan: leading shard axis over dom; Γ-global and
+    # element-global tables replicated
+    pspec = dataclasses.replace(
+        splan, cells=P(), kflat=P(dom_axis), eflat=P(dom_axis),
+        tgt=P(dom_axis), bI_fac=P(dom_axis), bI_slot=P(dom_axis),
+        bI_elem=P(dom_axis), bG_fac=P(dom_axis), bG_slot=P(dom_axis),
+        bG_elem=P(dom_axis), bI_fixed=P(dom_axis), bG_fixed=P(),
+        imask=P(dom_axis), gmask=P(dom_axis), g2g=P(dom_axis),
+        gamma_cnt=P())
+
+    def _squeeze(sp):
+        """Drop the singleton shard axis of the local block."""
+        def sq(x, spec):
+            return x[0] if spec == P(dom_axis) else x
+        leaves = {f.name: sq(getattr(sp, f.name), getattr(pspec, f.name))
+                  for f in dataclasses.fields(sp)
+                  if f.name in ShardedDDPlan.__dataclass_fields__
+                  and not isinstance(getattr(sp, f.name), (int,))}
+        return dataclasses.replace(sp, **leaves)
+
+    def _local_step(sp, st: SamplerState, Wl):
+        sp = _squeeze(sp)
+
+        def one(carry, inp):
+            xi, g, key, Wc = inp
+            st1 = dataclasses.replace(st, xi=xi, g=g, key=key)
+            st1, cnt = (_draw_mcmc if st.kind != "mc" else _draw_mc)(st1)
+            A, M, b_s = _local_condense(sp, jnp.exp(st1.g), dom_axis)
+            x, it, res, Wn = _eigdef_impl(A, M, b_s, jnp.zeros_like(b_s),
+                                          Wc, nvec, spdim, maxit, rtol,
+                                          True, True)
+            return carry, (st1.xi, st1.g, st1.key, Wn, it, cnt)
+
+        _, (xi, g, key, Wn, it, cnt) = jax.lax.scan(
+            one, 0, (st.xi, st.g, st.key, Wl))
+        return dataclasses.replace(st, xi=xi, g=g, key=key), Wn, it, cnt
+
+    def _local_seed(sp, st: SamplerState):
+        sp = _squeeze(sp)
+
+        def one(carry, inp):
+            xi, g, key = inp
+            st1 = dataclasses.replace(st, xi=xi, g=g, key=key)
+            A, M, b_s = _local_condense(sp, jnp.exp(st1.g), dom_axis)
+            x, it, res, W = _eigpcg_impl(A, M, b_s, jnp.zeros_like(b_s),
+                                         nvec, spdim, maxit, rtol)
+            return carry, (W, it)
+
+        _, (W, it) = jax.lax.scan(one, 0, (st.xi, st.g, st.key))
+        return W, it
+
+    def _sspec(states):
+        return dataclasses.replace(
+            states, xi=P(chain_axis), g=P(chain_axis), key=P(chain_axis),
+            sqrt_lam=P(), psi=P())
+
+    @jax.jit
+    def step(states: SamplerState, W):
+        f = shard_map(_local_step, mesh=mesh,
+                      in_specs=(pspec, _sspec(states), P(chain_axis)),
+                      out_specs=(_sspec(states), P(chain_axis),
+                                 P(chain_axis), P(chain_axis)),
+                      check_vma=False)
+        return f(splan, states, W)
+
+    @jax.jit
+    def seed(states: SamplerState):
+        f = shard_map(_local_seed, mesh=mesh,
+                      in_specs=(pspec, _sspec(states)),
+                      out_specs=(P(chain_axis), P(chain_axis)),
+                      check_vma=False)
+        return f(splan, states)
+
+    return step, seed

@@ -1,0 +1,182 @@
+"""Flagship Schur-DD recycled chain: parity + sharded-layout equivalence.
+
+The composition under test mirrors the reference's north-star workload
+(Example09..._Functions.jl:139-509 recycled eigdefpcg along MCMC chains, with
+Example07:86-424's Schur operators + NN preconditioner per realization)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from krylov_spdes_tpu.fem.mesh import get_mesh
+from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+from krylov_spdes_tpu.fem.partition import mesh_partition
+from krylov_spdes_tpu.fem.dd import set_subdomains, prepare_dd_assembly
+from krylov_spdes_tpu.fem.schur import get_subdomain_solutions
+from krylov_spdes_tpu.fem.assembly import (prepare_elliptic_assembly,
+                                           do_isotropic_elliptic_assembly)
+from krylov_spdes_tpu.kl.single import solve_kl
+from krylov_spdes_tpu.kl.covariance import make_cov
+from krylov_spdes_tpu.fem.assembly import get_mass_matrix
+from krylov_spdes_tpu.samplers.samplers import prepare_mcmc_sampler
+from krylov_spdes_tpu.chains import prepare_chain_states
+from krylov_spdes_tpu import dd_chains
+from krylov_spdes_tpu.parallel.sharding import make_mesh
+
+
+def _assert_basis_equal(Wa, Wb, tol=0.7):
+    """Harvested deflation bases agree as SUBSPACES up to the fp sensitivity
+    of their weakest Ritz directions (eigh rotations within clustered Ritz
+    values vary with psum reduction order between the sharded and local
+    paths), and a +-1 iteration-count difference shifts the final harvest
+    point, genuinely rotating the weakest direction. The loose projector
+    bound only rules out divergence (orthogonal random nvec-dim subspaces
+    would measure ~sqrt(2 nvec) ~= 3.5); the FUNCTIONAL parity — both bases
+    drive the next recycled solve to the same iteration count — is asserted
+    by the callers."""
+    Qa, _ = np.linalg.qr(np.asarray(Wa))
+    Qb, _ = np.linalg.qr(np.asarray(Wb))
+    Pa = Qa @ Qa.T
+    Pb = Qb @ Qb.T
+    assert np.linalg.norm(Pa - Pb) < tol, np.linalg.norm(Pa - Pb)
+
+
+def fsrc(x, y):
+    return -1.0 + 0.0 * x
+
+
+def uex(x, y):
+    return 0.0 * x
+
+
+@pytest.fixture(scope="module")
+def problem():
+    nnode, ndom = 420, 8
+    mesh = get_mesh(nnode, jitter=0.2, seed=3)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    epart, _ = mesh_partition(mesh.cells, mesh.points, ndom,
+                              mesh.cell_neighbors)
+    part = set_subdomains(mesh.cells, epart, maps, ndom)
+    plan = prepare_dd_assembly(mesh.cells, mesh.points, epart, part, maps,
+                               fsrc, uex)
+    asm = prepare_elliptic_assembly(mesh.cells, mesh.points, maps, fsrc, uex)
+    M = get_mass_matrix(mesh.cells, mesh.points)
+    cov = make_cov("sexp", 1.0, 0.3)
+    lam, psi = solve_kl(mesh.cells, mesh.points, cov, 12, M, relative=0.98)
+    return mesh, maps, part, plan, asm, lam, psi
+
+
+def test_dd_chain_solution_parity(problem):
+    """The recycled DD chain-step solution equals the monolithic solve of the
+    same realization (dual-path check, Example03:204 style)."""
+    mesh, maps, part, plan, asm, lam, psi = problem
+    smp = prepare_mcmc_sampler(lam, psi, key=7)
+    nvec, spdim = 6, 16
+    W, it0, _ = dd_chains.seed_dd_chain(plan, part, smp, nvec, spdim,
+                                        maxit=400, rtol=1e-10)
+    step = dd_chains.make_dd_chain_step(plan, part, nvec=nvec, spdim=spdim,
+                                        maxit=400, rtol=1e-10)
+    smp2, W2, it, cnt = step(smp, W)
+    assert int(it) > 0 and int(cnt) >= 1
+    # recompute this realization's Schur solve and compare against the dense
+    # monolithic path
+    S, b_s, b_I = dd_chains.dd_solve_operands(plan, part, jnp.exp(smp2.g))
+    from krylov_spdes_tpu.solvers.cg import cg
+    x_g = cg(S.as_partial_op(), b_s, maxit=part.n_gamma + 10,
+             rtol=1e-12).x
+    A, b = do_isotropic_elliptic_assembly(asm, jnp.exp(smp2.g))
+    u_free = np.linalg.solve(np.asarray(A.todense()), np.asarray(b))
+    g_idx = maps.free_g2l[part.gamma_l2g]
+    np.testing.assert_allclose(np.asarray(x_g), u_free[g_idx],
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_dd_chain_recycling_helps(problem):
+    """Along a chain the recycled eigDef-PCG iteration count drops well below
+    the unrecycled seed count (Example09 §4.3 iteration-curve criterion)."""
+    mesh, maps, part, plan, asm, lam, psi = problem
+    smp = prepare_mcmc_sampler(lam, psi, key=11)
+    nvec, spdim = 8, 20
+    _, iters, props = dd_chains.run_dd_chains(
+        plan, part, [smp], nsmp=6, nvec=nvec, spdim=spdim, maxit=600,
+        rtol=1e-8)
+    assert (iters > 0).all()
+    assert (props >= 1).all()
+    # steady-state recycled iterations beat the seed solve
+    assert iters[0, 3:].mean() < iters[0, 0]
+
+
+def test_dom_sharded_step_matches_single_device(problem):
+    """The 2D (dom × chain) shard_map flagship step reproduces the
+    single-device step exactly (same keys, same draws, same solves)."""
+    mesh, maps, part, plan, asm, lam, psi = problem
+    nvec, spdim = 6, 16
+    nchains = 4
+    states = prepare_chain_states(lam, psi, nchains, base_key=5)
+    dev_mesh = make_mesh(n_dom=4, n_chain=2)
+    step, seed = dd_chains.make_dom_sharded_dd_chain_step(
+        dev_mesh, plan, part, nvec=nvec, spdim=spdim, maxit=400, rtol=1e-9)
+    W, it0 = seed(states)
+    assert W.shape == (nchains, part.n_gamma, nvec)
+    states2, W2, its, cnts = step(states, W)
+
+    # reference: per-chain unsharded path with identical keys
+    import dataclasses as dc
+    step1 = dd_chains.make_dd_chain_step(plan, part, nvec=nvec, spdim=spdim,
+                                         maxit=400, rtol=1e-9)
+    for c in range(nchains):
+        st = dc.replace(states, xi=states.xi[c], g=states.g[c],
+                        key=states.key[c])
+        Wc, itc, _ = dd_chains.seed_dd_chain(plan, part, st, nvec, spdim,
+                                             maxit=400, rtol=1e-9)
+        # iteration parity: +-1 absorbs psum reduction-order noise at the
+        # tolerance boundary (SURVEY.md section 6 parity definition)
+        assert abs(int(itc) - int(it0[c])) <= 1
+        st1, Wn, it, cnt = step1(st, Wc)
+        assert abs(int(it) - int(its[c])) <= 1
+        assert int(cnt) == int(cnts[c])
+        np.testing.assert_allclose(np.asarray(st1.g),
+                                   np.asarray(states2.g[c]),
+                                   rtol=1e-12, atol=1e-12)
+        _assert_basis_equal(Wn, W2[c])
+    # functional parity: a second recycled step from each path's own basis
+    # costs the same iterations (the bases are equivalent deflation spaces)
+    states3, W3, its2, _ = step(states2, W2)
+    for c in range(nchains):
+        st = dc.replace(states2, xi=states2.xi[c], g=states2.g[c],
+                        key=states2.key[c])
+        _, _, it, _ = step1(st, W2[c])
+        assert abs(int(it) - int(its2[c])) <= 1
+
+
+def test_chain_sharded_step_matches_single_device(problem):
+    """The chain-axis-only shard_map layout (P4) reproduces the per-chain
+    sequential step."""
+    mesh, maps, part, plan, asm, lam, psi = problem
+    nvec, spdim = 6, 16
+    nchains = 4
+    states = prepare_chain_states(lam, psi, nchains, base_key=9)
+    dev_mesh = make_mesh(n_dom=2, n_chain=4)
+    step = dd_chains.make_sharded_dd_chain_step(
+        dev_mesh, plan, part, nvec=nvec, spdim=spdim, maxit=400, rtol=1e-9,
+        axis="chain")
+    import dataclasses as dc
+    # seed every chain
+    Ws = []
+    for c in range(nchains):
+        st = dc.replace(states, xi=states.xi[c], g=states.g[c],
+                        key=states.key[c])
+        Wc, _, _ = dd_chains.seed_dd_chain(plan, part, st, nvec, spdim,
+                                           maxit=400, rtol=1e-9)
+        Ws.append(Wc)
+    W = jnp.stack(Ws)
+    states2, W2, its, cnts = step(states, W)
+    step1 = dd_chains.make_dd_chain_step(plan, part, nvec=nvec, spdim=spdim,
+                                         maxit=400, rtol=1e-9)
+    for c in range(nchains):
+        st = dc.replace(states, xi=states.xi[c], g=states.g[c],
+                        key=states.key[c])
+        st1, Wn, it, cnt = step1(st, W[c])
+        assert abs(int(it) - int(its[c])) <= 1
+        _assert_basis_equal(Wn, W2[c])
