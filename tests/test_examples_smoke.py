@@ -24,6 +24,11 @@ CASES = [
     ("ex17_recyclers_mcmc.py", ["--nnode", "400", "--ndom", "4",
                                 "--nchains", "1", "--nsmp", "2",
                                 "--L", "0.4", "--fast"]),
+    ("ex10_large_deterministic.py", ["--nnode", "2500"]),
+    ("ex13_clvq.py", ["--ns", "500", "--Ps", "4", "--nKLs", "4",
+                      "--nnode", "300", "--L", "0.4"]),
+    ("ex18_clustering2d.py", ["--ns", "300", "--P", "3", "--nnode", "300",
+                              "--L", "0.4"]),
 ]
 
 # full set exercised with RUN_ALL_EXAMPLES=1

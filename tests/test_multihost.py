@@ -1,0 +1,117 @@
+"""Multi-host bring-up: a REAL 2-process jax.distributed run on CPU.
+
+The reference's cluster layer (Utils/PllUtils.jl:16-39) could only be
+exercised on its hard-coded SSH hosts; here the TPU-native replacement
+(parallel/multihost.py) is driven by spawning two local processes that form
+a jax.distributed cluster, build the global (dom × chain) mesh, and run the
+dom-sharded Schur matvec with its psum halo exchange across PROCESS
+boundaries — checking the result against the single-process operator.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+WORKER = r"""
+import os, sys
+import numpy as np
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+from krylov_spdes_tpu.parallel.multihost import (init_distributed,
+                                                 global_mesh, is_coordinator)
+
+coord = sys.argv[1]
+nproc = int(sys.argv[2])
+pid = int(sys.argv[3])
+outdir = sys.argv[4]
+
+init_distributed(coord, nproc, pid)
+assert jax.process_count() == nproc, jax.process_count()
+assert is_coordinator() == (pid == 0)
+
+# 2 processes x 4 local CPU devices = 8 global devices
+mesh = global_mesh(n_dom=4, n_chain=2)
+assert mesh.devices.size == 8
+
+# deterministic problem, identically built on every process
+import jax.numpy as jnp
+from krylov_spdes_tpu.fem.mesh import get_mesh
+from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+from krylov_spdes_tpu.fem.partition import mesh_partition
+from krylov_spdes_tpu.fem.dd import (set_subdomains, prepare_dd_assembly,
+                                     assemble_dd_values)
+from krylov_spdes_tpu.fem.schur import prepare_schur_operator, schur_matvec
+from krylov_spdes_tpu.parallel.schur_sharded import sharded_schur_matvec
+
+fem = get_mesh(400, jitter=0.2, seed=4)
+maps = get_dirichlet_inds(fem.points, fem.point_markers)
+epart, _ = mesh_partition(fem.cells, fem.points, 8, fem.cell_neighbors)
+part = set_subdomains(fem.cells, epart, maps, 8)
+plan = prepare_dd_assembly(fem.cells, fem.points, epart, part, maps,
+                           lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+rng = np.random.default_rng(0)
+coeff = jnp.asarray(np.exp(rng.normal(size=fem.points.shape[0])))
+blocks = assemble_dd_values(plan, coeff)
+S = prepare_schur_operator(plan, part, *blocks[:3])
+
+x = jnp.asarray(rng.normal(size=S.n_gamma))
+y_local = np.asarray(schur_matvec(S, x))          # single-process reference
+
+op = sharded_schur_matvec(mesh, S)                 # dom axis spans processes
+y_sharded = np.asarray(jax.jit(op)(x))
+
+np.testing.assert_allclose(y_sharded, y_local, rtol=1e-11, atol=1e-12)
+with open(os.path.join(outdir, f"ok_{pid}"), "w") as f:
+    f.write("ok")
+print(f"process {pid}/{nproc} OK", flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_schur_matvec():
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    with tempfile.TemporaryDirectory() as d:
+        script = os.path.join(d, "worker.py")
+        with open(script, "w") as f:
+            f.write(WORKER)
+        procs = []
+        for pid in range(2):
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+            env.pop("JAX_NUM_CPU_DEVICES", None)
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+            procs.append(subprocess.Popen(
+                [sys.executable, script, coord, "2", str(pid), d],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True))
+        outs = []
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=240)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append((p.returncode, out, err))
+        for rc, out, err in outs:
+            assert rc == 0, (out[-2000:], err[-2000:])
+        assert os.path.exists(os.path.join(d, "ok_0"))
+        assert os.path.exists(os.path.join(d, "ok_1"))
