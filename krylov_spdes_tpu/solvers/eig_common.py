@@ -117,14 +117,19 @@ def ritz_basis_gen(S, T, nvec: int, active_dim):
 
 def thick_restart_basis_gen(S, T, nvec: int, active_dim):
     """LO-TR restart: double generalized basis + rank-SVD merge
-    (lotrrrdefpcg.jl:168-186). Returns (vals, QZ, nev) like
-    `thick_restart_basis` but for a generalized pair (S, T)."""
+    (lotrrrdefpcg.jl:167-182). Returns (vals, QZ, nev) like
+    `thick_restart_basis` but for a generalized pair (S, T).
+
+    The compressed nev-sized problem is itself GENERALIZED: the reference
+    solves eigen(QᵀSQ, QᵀTQ) (lotrhrdefpcg.jl:185-188). For the RR metric
+    T = I this reduces to the plain eigh(QᵀSQ) of lotrrrdefpcg.jl:172-174."""
     s = S.shape[0]
     dtype = S.dtype
     i = jnp.arange(s)
     act = i < active_dim
     actf = act.astype(dtype)
     S0 = _sym(S) * actf[:, None] * actf[None, :]
+    T0 = _sym(T) * actf[:, None] * actf[None, :]
 
     Y1 = _masked_gen_eigvecs(S, T, nvec, act)
     act2 = i < (active_dim - 1)
@@ -138,7 +143,14 @@ def thick_restart_basis_gen(S, T, nvec: int, active_dim):
     H = Q.T @ S0 @ Q
     big2 = 2.0 + jnp.sum(jnp.abs(H))
     Hm = _sym(H) + big2 * jnp.diag(1.0 - colmask)
-    vals, Z = jnp.linalg.eigh(Hm)
+    # Q rows are supported on active coords, so QᵀT0Q is exactly VᵀTV on the
+    # live columns; masked columns get identity to keep the pencil SPD.
+    Gm = _sym(Q.T @ T0 @ Q) + jnp.diag(1.0 - colmask)
+    L = jnp.linalg.cholesky(Gm)
+    B = jax.scipy.linalg.solve_triangular(L, Hm, lower=True)
+    B = jax.scipy.linalg.solve_triangular(L, B.T, lower=True)
+    vals, Zo = jnp.linalg.eigh(_sym(B))
+    Z = jax.scipy.linalg.solve_triangular(L.T, Zo, lower=False)
     vals = vals * colmask
     QZ = (Q @ Z) * colmask[None, :]
     return vals, QZ, nev

@@ -99,6 +99,254 @@ def hrdefpcg(A, b, x, W, Msolve, spdim, maxit=0):
     return x, it, res, W2
 
 
+def _hr_pencil(A, Msolve, W2, P):
+    """HR restart pencil over V=[W2, P] (trhrdefpcg.jl:149-178).
+
+    S = VᵀA M⁻¹ A V assembled blockwise; T keeps only the W2ᵀAW2 block and
+    the diagonal of PᵀAP (search directions are A-conjugate)."""
+    nev = W2.shape[1]
+    m = P.shape[1]
+    W2tA = (A @ W2).T                              # (nev, n)
+    W2tAW2 = W2tA @ W2
+    invMAW2 = np.stack([Msolve(W2tA[i]) for i in range(nev)], axis=1)
+    AP = A @ P
+    invMAP = np.stack([Msolve(AP[:, j]) for j in range(m)], axis=1)
+    s = nev + m
+    S = np.zeros((s, s))
+    S[:nev, :nev] = W2tA @ invMAW2
+    S[:nev, nev:] = W2tA @ invMAP
+    S[nev:, :nev] = S[:nev, nev:].T
+    S[nev:, nev:] = AP.T @ invMAP
+    T = np.zeros((s, s))
+    T[:nev, :nev] = W2tAW2
+    T[nev:, nev:] = np.diag(np.einsum("ij,ij->j", P, AP))
+    return (S + S.T) / 2, (T + T.T) / 2
+
+
+def trhrdefpcg(A, b, x, W, Msolve, spdim, maxit=0):
+    """Transcribes /root/reference/RecyclingKrylovSolvers/trhrdefpcg.jl:48-192."""
+    n, nvec = W.shape
+    maxit = n if maxit == 0 else maxit
+    x = x.astype(float).copy()
+    m_w = spdim - nvec
+    W2 = W.copy()
+
+    WtA = (A @ W).T
+    WtAW = WtA @ W
+    WtW = W.T @ W
+    r = b - A @ x
+    x = x + W @ np.linalg.solve(WtAW, W.T @ r)
+    it = 1
+    r = b - A @ x
+    rTr = r @ r
+    res = [np.sqrt(rTr)]
+    z = Msolve(r)
+    rTz = r @ z
+    p = z - W @ np.linalg.solve(WtAW, WtA @ z)
+    P = np.zeros((n, m_w))
+    P[:, 0] = p
+    tol = EPS * np.linalg.norm(b)
+    while it < maxit and res[-1] > tol:
+        Ap = A @ p
+        alpha = rTz / (p @ Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        r = r - W @ np.linalg.solve(WtW, W.T @ r)
+        rTr = r @ r
+        z = Msolve(r)
+        rTz_new = r @ z
+        beta = rTz_new / rTz
+        rTz = rTz_new
+        p = beta * p + z - W @ np.linalg.solve(WtAW, WtA @ z)
+        it += 1
+        res.append(np.sqrt(rTr))
+        slot = (it - 1) % m_w
+        P[:, slot] = p
+        if slot == m_w - 1:
+            S, T = _hr_pencil(A, Msolve, W2, P)
+            vals, vecs = eigh(S, T)
+            W2 = W2 @ vecs[:nvec, :nvec] + P @ vecs[nvec:, :nvec]
+    return x, it, np.array(res), W2
+
+
+def _lotr_restart(S, T, nvec, W2, Win, generalized_final):
+    """LO-TR double-basis rank-SVD merge (lotrrrdefpcg.jl:167-182,
+    lotrhrdefpcg.jl:180-197). Returns the new (nev-column) W2."""
+    s = S.shape[0]
+    Y = np.zeros((s, 2 * nvec))
+    Y[:, :nvec] = eigh(S, T)[1][:, :nvec]
+    Y[:s - 1, nvec:] = eigh(S[:s - 1, :s - 1], T[:s - 1, :s - 1])[1][:, :nvec]
+    nev = np.linalg.matrix_rank(Y)
+    Q = np.linalg.svd(Y, full_matrices=False)[0][:, :nev]
+    H = Q.T @ S @ Q
+    if generalized_final:
+        vecs = eigh((H + H.T) / 2, Q.T @ T @ Q)[1]     # lotrhrdefpcg.jl:186-188
+    else:
+        vecs = eigh((H + H.T) / 2)[1]                  # lotrrrdefpcg.jl:172-174
+    C = Q @ vecs                                        # (s, nev)
+    k = W2.shape[1]
+    return W2 @ C[:k] + Win @ C[k:]
+
+
+def lotrrrdefpcg(A, b, x, W, Msolve, spdim, maxit=0):
+    """Transcribes /root/reference/RecyclingKrylovSolvers/lotrrrdefpcg.jl:48-191."""
+    n, nvec = W.shape
+    maxit = n if maxit == 0 else maxit
+    x = x.astype(float).copy()
+    W2 = W.copy()
+    nev = nvec
+
+    WtA = (A @ W).T
+    WtAW = WtA @ W
+    WtW = W.T @ W
+    r = b - A @ x
+    x = x + W @ np.linalg.solve(WtAW, W.T @ r)
+    it = 1
+    r = b - A @ x
+    rTr = r @ r
+    res = [np.sqrt(rTr)]
+    z = Msolve(r)
+    rTz = r @ z
+    p = z - W @ np.linalg.solve(WtAW, WtA @ z)
+    Z = np.zeros((n, spdim - nvec))
+    Z[:, 0] = z / np.sqrt(rTz)
+    ivec = 1
+    tol = EPS * np.linalg.norm(b)
+    while it < maxit and res[-1] > tol:
+        Ap = A @ p
+        alpha = rTz / (p @ Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        r = r - W @ np.linalg.solve(WtW, W.T @ r)
+        rTr = r @ r
+        z = Msolve(r)
+        rTz_new = r @ z
+        beta = rTz_new / rTz
+        rTz = rTz_new
+        p = beta * p + z - W @ np.linalg.solve(WtAW, WtA @ z)
+        it += 1
+        res.append(np.sqrt(rTr))
+        Z[:, ivec] = z / np.sqrt(rTz)
+        ivec += 1
+        if ivec == spdim - nev:
+            Zf = Z[:, :spdim - nev]
+            W2tA = (A @ W2).T
+            S = np.zeros((spdim, spdim))
+            S[:nev, :nev] = W2tA @ W2
+            S[:nev, nev:] = W2tA @ Zf
+            S[nev:, :nev] = S[:nev, nev:].T
+            S[nev:, nev:] = Zf.T @ (A @ Zf)
+            S = (S + S.T) / 2
+            W2 = _lotr_restart(S, np.eye(spdim), nvec, W2, Zf, False)
+            nev = W2.shape[1]
+            ivec = 0
+    return x, it, np.array(res), W2[:, :nvec]
+
+
+def lotrhrdefpcg(A, b, x, W, Msolve, spdim, maxit=0):
+    """Transcribes /root/reference/RecyclingKrylovSolvers/lotrhrdefpcg.jl:48-206."""
+    n, nvec = W.shape
+    maxit = n if maxit == 0 else maxit
+    x = x.astype(float).copy()
+    W2 = W.copy()
+    nev = nvec
+
+    WtA = (A @ W).T
+    WtAW = WtA @ W
+    WtW = W.T @ W
+    r = b - A @ x
+    x = x + W @ np.linalg.solve(WtAW, W.T @ r)
+    it = 1
+    r = b - A @ x
+    rTr = r @ r
+    res = [np.sqrt(rTr)]
+    z = Msolve(r)
+    rTz = r @ z
+    p = z - W @ np.linalg.solve(WtAW, WtA @ z)
+    P = np.zeros((n, spdim - nvec))
+    P[:, 0] = p
+    ivec = 1
+    tol = EPS * np.linalg.norm(b)
+    while it < maxit and res[-1] > tol:
+        Ap = A @ p
+        alpha = rTz / (p @ Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        r = r - W @ np.linalg.solve(WtW, W.T @ r)
+        rTr = r @ r
+        z = Msolve(r)
+        rTz_new = r @ z
+        beta = rTz_new / rTz
+        rTz = rTz_new
+        p = beta * p + z - W @ np.linalg.solve(WtAW, WtA @ z)
+        it += 1
+        res.append(np.sqrt(rTr))
+        P[:, ivec] = p
+        ivec += 1
+        if ivec == spdim - nev:
+            Pf = P[:, :spdim - nev]
+            S, T = _hr_pencil(A, Msolve, W2, Pf)
+            W2 = _lotr_restart(S, T, nvec, W2, Pf, True)
+            nev = W2.shape[1]
+            ivec = 0
+    return x, it, np.array(res), W2[:, :nvec]
+
+
+def trrrpcg(A, b, x, Msolve, nvec, spdim, maxit=0):
+    """Transcribes /root/reference/RecyclingKrylovSolvers/trrrdefpcg.jl:231-355
+    (the no-deflation bootstrap: first restart over a full spdim window)."""
+    n = b.shape[0]
+    maxit = n if maxit == 0 else maxit
+    x = x.astype(float).copy()
+    r = b - A @ x
+    it = 1
+    rTr = r @ r
+    res = [np.sqrt(rTr)]
+    z = Msolve(r)
+    rTz = r @ z
+    p = z.copy()
+    Z = np.zeros((n, spdim))
+    Z[:, 0] = z / np.sqrt(rTz)
+    W2 = None
+    tol = EPS * np.linalg.norm(b)
+    while it < maxit and res[-1] > tol:
+        Ap = A @ p
+        alpha = rTz / (p @ Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rTr = r @ r
+        z = Msolve(r)
+        rTz_new = r @ z
+        beta = rTz_new / rTz
+        rTz = rTz_new
+        p = beta * p + z
+        it += 1
+        res.append(np.sqrt(rTr))
+        if W2 is None:
+            slot = it - 1
+            Z[:, slot] = z / np.sqrt(rTz)
+            if slot == spdim - 1:
+                VtAV = Z.T @ (A @ Z)
+                vecs = eigh((VtAV + VtAV.T) / 2)[1]
+                W2 = Z @ vecs[:, :nvec]
+        else:
+            slot = (it - spdim - 1) % (spdim - nvec)
+            Z[:, slot] = z / np.sqrt(rTz)
+            if slot == spdim - nvec - 1:
+                Zf = Z[:, :spdim - nvec]
+                W2tA = (A @ W2).T
+                S = np.zeros((spdim, spdim))
+                S[:nvec, :nvec] = W2tA @ W2
+                S[:nvec, nvec:] = W2tA @ Zf
+                S[nvec:, :nvec] = S[:nvec, nvec:].T
+                S[nvec:, nvec:] = Zf.T @ (A @ Zf)
+                vecs = eigh((S + S.T) / 2)[1]
+                W2 = W2 @ vecs[:nvec, :nvec] + Zf @ vecs[nvec:, :nvec]
+    if W2 is None:
+        W2 = Z[:, :nvec]
+    return x, it, np.array(res), W2
+
+
 def trrrdefpcg(A, b, x, W, Msolve, spdim, maxit=0):
     n, nvec = W.shape
     maxit = n if maxit == 0 else maxit

@@ -25,6 +25,9 @@ def _seed_W(A, b, M):
     ("rrdefpcg", rec.rrdefpcg, orc.rrdefpcg),
     ("hrdefpcg", rec.hrdefpcg, orc.hrdefpcg),
     ("trrrdefpcg", rec.trrrdefpcg, orc.trrrdefpcg),
+    ("trhrdefpcg", rec.trhrdefpcg, orc.trhrdefpcg),
+    ("lotrrrdefpcg", rec.lotrrrdefpcg, orc.lotrrrdefpcg),
+    ("lotrhrdefpcg", rec.lotrhrdefpcg, orc.lotrhrdefpcg),
 ])
 def test_parity_vs_oracle(name, fn, orc_fn):
     systems = make_systems(n_sys=3, seed=11)
@@ -43,6 +46,23 @@ def test_parity_vs_oracle(name, fn, orc_fn):
     it_j = int(defpcg(A2, b2, W=np.asarray(r.W), M=Mj).it)
     it_o = int(defpcg(A2, b2, W=W2_ref, M=Mj).it)
     assert abs(it_j - it_o) <= 4, (name, it_j, it_o)
+
+
+def test_bootstrap_parity_vs_oracle():
+    """trrrpcg (no-deflation bootstrap): first restart over the full spdim
+    window, then spdim-nvec windows (trrrdefpcg.jl:231-355)."""
+    systems = make_systems(n_sys=2, seed=11)
+    A0, b0 = systems[0]
+    Mj, Mo = _jacobi(A0)
+    r = rec.trrrpcg(A0, b0, M=Mj, nvec=NVEC, spdim=SPDIM)
+    x_ref, it_ref, _, W2_ref = orc.trrrpcg(A0.to_scipy(), b0,
+                                           np.zeros_like(b0), Mo, NVEC, SPDIM)
+    assert abs(int(r.it) - it_ref) <= 2, (int(r.it), it_ref)
+    np.testing.assert_allclose(np.asarray(r.x), x_ref, rtol=1e-4, atol=1e-7)
+    A1, b1 = systems[1]
+    it_j = int(defpcg(A1, b1, W=np.asarray(r.W), M=Mj).it)
+    it_o = int(defpcg(A1, b1, W=W2_ref, M=Mj).it)
+    assert abs(it_j - it_o) <= 4, (it_j, it_o)
 
 
 @pytest.mark.parametrize("fn", [
