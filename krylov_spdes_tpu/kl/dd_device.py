@@ -1,0 +1,296 @@
+"""Device-resident, dom-shardable two-level KL — the TPU `pll_compute_kl`.
+
+This is the distributed flavor of kl/dd.py (C15), redesigned so that after a
+light host pass that builds integer tables, EVERY numeric stage runs on
+device with no host round-trips between stages, and the two heavy stages
+shard over the mesh 'dom' axis:
+
+  reference (/root/reference/Fem/KarhunenLoevePllDomainDecomposition.jl):
+    - per-subdomain local eigensolve tasks on workers   (:245-323)
+    - per-subdomain row blocks of the reduced covariance,
+      dynamic_mapreduce!(+, K) on the master             (:56-201, :513-537)
+  here:
+    - stage A: one lax.scan over dom chunks; each chunk BUILDS its local
+      mass matrices on device (scatter from padded element tables), forms
+      C = M Ĉ M, runs the batched generalized eigh, truncates by the energy
+      rule and M-renormalizes with masks (no per-dom host loops), and emits
+      only (λ_d, φ_d, ρ_d = M φ_d) — the O(n_max²) mass/covariance blocks
+      live only inside one scan step, so 1M-DoF/512-dom fits HBM.
+      Under shard_map the dom axis splits over devices.
+    - stage B: the screened pair list is split across devices; each shard
+      scans its pair chunks computing K_{dd'} = ρ_dᵀ Ĉ_{dd'} ρ_{d'} tiles and
+      scatters them into a partial K; ONE psum reduces to the replicated K —
+      the TPU analogue of the reference's dynamic_mapreduce!(+, K).
+
+Truncation semantics match the reference: local modes are kept while the
+running energy is below relative_local·area_d·cov(c_d,c_d) (:705-718), the
+crossing mode included; kept modes are M-renormalized (:183-185 analogue).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.mesh import element_geometry
+from .dd import KLSubdomains, solve_global_reduced_kl
+
+
+@dataclasses.dataclass
+class KLDomTables:
+    """Light integer/geometry tables (host-built once per mesh/partition).
+    Unlike KLSubdomains this does NOT materialize the (ndom, n_max, n_max)
+    mass matrices — they are rebuilt per chunk on device."""
+    ndom: int
+    n_max: int
+    nel_max: int
+    nodes: np.ndarray      # (ndom, n_max) global node ids, -1 pad
+    node_mask: np.ndarray  # (ndom, n_max)
+    li: np.ndarray         # (ndom, nel_max, 3) local node ids, n_max pad slot
+    el_area: np.ndarray    # (ndom, nel_max) element areas, 0 pad
+    centers: np.ndarray    # (ndom, 2)
+    areas: np.ndarray      # (ndom,)
+    cnt: np.ndarray        # (nnode,)
+
+
+def build_kl_tables(cells, points, epart, ndom) -> KLDomTables:
+    """set_subdomain analogue (KarhunenLoeveDomainDecomposition.jl:40-80):
+    per-subdomain padded node lists + local element connectivity."""
+    nnode = points.shape[0]
+    _, _, area = element_geometry(cells, points)
+    area = np.asarray(area)
+    order = np.argsort(epart, kind="stable")
+    bounds = np.searchsorted(epart[order], np.arange(ndom + 1))
+    node_lists, el_lists = [], []
+    for d in range(ndom):
+        els = order[bounds[d]:bounds[d + 1]]
+        el_lists.append(els)
+        node_lists.append(np.unique(cells[els].ravel()))
+    n_nodes = np.array([len(x) for x in node_lists])
+    nels = np.array([len(e) for e in el_lists])
+    n_max, nel_max = int(n_nodes.max()), int(nels.max())
+
+    nodes = -np.ones((ndom, n_max), dtype=np.int64)
+    li = np.full((ndom, nel_max, 3), n_max, dtype=np.int32)  # pad -> slot n_max
+    el_area = np.zeros((ndom, nel_max))
+    centers = np.zeros((ndom, 2))
+    areas = np.zeros(ndom)
+    cnt = np.zeros(nnode, dtype=np.int64)
+    g2l = np.empty(nnode, dtype=np.int64)
+    for d in range(ndom):
+        nl, els = node_lists[d], el_lists[d]
+        nodes[d, :len(nl)] = nl
+        g2l[nl] = np.arange(len(nl))
+        li[d, :len(els)] = g2l[cells[els]]
+        el_area[d, :len(els)] = area[els]
+        centers[d] = points[nl].mean(axis=0)
+        areas[d] = area[els].sum()
+        cnt[nl] += 1
+    return KLDomTables(ndom=ndom, n_max=n_max, nel_max=nel_max, nodes=nodes,
+                       node_mask=nodes >= 0, li=li, el_area=el_area,
+                       centers=centers, areas=areas, cnt=cnt)
+
+
+_MASS_LOCAL = (np.ones((3, 3)) + np.eye(3)) / 12.0
+
+
+def _build_mass_chunk(li, el_area, n_max: int):
+    """Batched local P1 mass matrices from padded element tables
+    (do_local_mass_assembly, reference :236-293). One scatter-add per chunk;
+    padded elements target the extra slot n_max and are sliced off."""
+    B = li.shape[0]
+    vals = el_area[:, :, None, None] * jnp.asarray(_MASS_LOCAL, el_area.dtype)
+    rows = jnp.broadcast_to(li[:, :, :, None], li.shape + (3,))
+    cols = jnp.broadcast_to(li[:, :, None, :], li.shape + (3,))
+    flat = rows * (n_max + 1) + cols                     # (B, nel, 3, 3)
+    M = jnp.zeros((B, (n_max + 1) * (n_max + 1)), el_area.dtype)
+    M = M.at[jnp.arange(B)[:, None], flat.reshape(B, -1)].add(
+        vals.reshape(B, -1))
+    return M.reshape(B, n_max + 1, n_max + 1)[:, :n_max, :n_max]
+
+
+def _truncate_renorm(w, phi, M, energy_target, nev: int):
+    """Masked energy-rule truncation + M-renormalization (reference
+    :705-718, :183-185). w descending. Keeps modes while the EXCLUSIVE
+    running energy is below target (so the crossing mode is included)."""
+    w = w[:, :nev]
+    phi = phi[:, :, :nev]
+    prefix = jnp.cumsum(w, axis=1) - w                   # exclusive cumsum
+    keep = (w > 0) & (prefix < energy_target[:, None])
+    keepf = keep.astype(w.dtype)
+    nrm2 = jnp.einsum("dnk,dnm,dmk->dk", phi, M, phi)
+    tiny = jnp.finfo(w.dtype).tiny
+    inv = jnp.where(keep, 1.0 / jnp.sqrt(jnp.maximum(nrm2, tiny)), 0.0)
+    phi = phi * inv[:, None, :]
+    lam = w * keepf
+    return lam, phi, jnp.sum(keep, axis=1)
+
+
+def local_kls_device(tables: KLDomTables, points, cov, nev: int,
+                     relative: float = 0.99, dom_chunk: int | None = None,
+                     dtype=None):
+    """Stage A as ONE jitted scan over dom chunks. Returns device arrays
+    (lam_d (ndom, nev), phi_d (ndom, n_max, nev), rho_d (ndom, n_max, nev),
+    m_d (ndom,), total_energy (scalar)). No host syncs."""
+    dtype = dtype or (jnp.float64 if jax.config.read("jax_enable_x64")
+                      else jnp.float32)
+    ndom, n_max = tables.ndom, tables.n_max
+    chunk = dom_chunk or ndom
+    npad = -(-ndom // chunk) * chunk
+
+    def pad(x, fill=0):
+        p = np.full((npad,) + x.shape[1:], fill, dtype=x.dtype)
+        p[:ndom] = x
+        return p
+
+    coords = points[np.maximum(tables.nodes, 0)]
+    args = dict(
+        li=jnp.asarray(pad(tables.li, n_max)),
+        el_area=jnp.asarray(pad(tables.el_area), dtype),
+        coords=jnp.asarray(pad(coords), dtype),
+        maskf=jnp.asarray(pad(tables.node_mask.astype(np.float64)), dtype),
+    )
+    c = jnp.asarray(tables.centers, dtype)
+    var0 = cov(c, c)                                     # (ndom,)
+    energy_target = relative * jnp.asarray(pad(tables.areas), dtype) * \
+        jnp.concatenate([var0, jnp.zeros((npad - ndom,), dtype)])
+    total_energy = jnp.sum(jnp.asarray(tables.areas, dtype) * var0)
+
+    from .dd import _local_generalized_eigh
+
+    def one_chunk(_, a):
+        M = _build_mass_chunk(a["li"], a["el_area"], n_max)
+        Chat = cov(a["coords"][:, :, None, :], a["coords"][:, None, :, :])
+        Chat = Chat * a["maskf"][:, :, None] * a["maskf"][:, None, :]
+        C = jnp.einsum("dij,djk,dlk->dil", M, Chat, M)
+        w, phi = _local_generalized_eigh(C, M, a["maskf"])
+        lam, phi, m_d = _truncate_renorm(w, phi, M, a["tgt"], nev)
+        phi = phi * a["maskf"][:, :, None]
+        rho = jnp.einsum("dij,djk->dik", M, phi)
+        return None, dict(lam=lam, phi=phi, rho=rho, m=m_d)
+
+    @jax.jit
+    def run(args, energy_target):
+        sc = {k: v.reshape((npad // chunk, chunk) + v.shape[1:])
+              for k, v in args.items()}
+        sc["tgt"] = energy_target.reshape(npad // chunk, chunk)
+        _, out = jax.lax.scan(partial(one_chunk), None, sc)
+        return {k: v.reshape((npad,) + v.shape[2:])[:ndom]
+                for k, v in out.items()}
+
+    out = run(args, energy_target)
+    return out["lam"], out["phi"], out["rho"], out["m"], total_energy
+
+
+def screened_pairs(tables: KLDomTables, cov, forget: float = -1.0):
+    """Upper-triangle pair list with the center-distance `forget` screening
+    (reference :499-501)."""
+    c = tables.centers
+    cc = np.asarray(cov(jnp.asarray(c)[:, None, :], jnp.asarray(c)[None, :, :]))
+    iu, ju = np.triu_indices(tables.ndom)
+    keep = cc[iu, ju] > forget
+    return np.stack([iu[keep], ju[keep]], axis=1).astype(np.int32)
+
+
+def reduced_covariance_device(tables: KLDomTables, points, rho, cov,
+                              forget: float = -1.0, pair_chunk: int = 64,
+                              mesh=None, dtype=None):
+    """Stage B: K_{dd'} = ρ_dᵀ Ĉ_{dd'} ρ_{d'} over the screened pair list.
+
+    Without `mesh`: one jitted scan over pair chunks, scattering tiles into
+    K on device. With `mesh` (axis 'dom'): pairs split across devices
+    (shard_map); each shard scans its share and the partial K's merge with
+    ONE psum — the reference's dynamic_mapreduce!(+, K)
+    (KarhunenLoevePllDomainDecomposition.jl:513-537, Utils/PllUtils.jl:97-189)
+    as an XLA collective. Returns the replicated (ndom·m, ndom·m) K."""
+    dtype = dtype or rho.dtype
+    ndom, n_max, m_max = rho.shape
+    pairs = screened_pairs(tables, cov, forget)
+    coords = jnp.asarray(points[np.maximum(tables.nodes, 0)], dtype)
+    maskf = jnp.asarray(tables.node_mask.astype(np.float64), dtype)
+
+    nshard = 1 if mesh is None else mesh.shape["dom"] * mesh.shape.get("chain", 1)
+    per = -(-len(pairs) // (pair_chunk * nshard)) * pair_chunk
+    pp = np.zeros((nshard * per, 3), dtype=np.int32)     # (i, j, valid)
+    pp[:len(pairs), :2] = pairs
+    pp[:len(pairs), 2] = 1
+    pp = pp.reshape(nshard, per, 3)
+
+    def shard_fn(pp_s, rho, coords, maskf, vary_axes=()):
+        pp_s = pp_s.reshape(-1, 3)                       # back to (per, 3)
+
+        def step(K, chunk):
+            pi, pj, valid = chunk[:, 0], chunk[:, 1], chunk[:, 2]
+            ci, cj = coords[pi], coords[pj]
+            Ch = cov(ci[:, :, None, :], cj[:, None, :, :])
+            Ch = Ch * maskf[pi][:, :, None] * maskf[pj][:, None, :]
+            Kb = jnp.einsum("bik,bij,bjl->bkl", rho[pi], Ch, rho[pj])
+            Kb = Kb * valid[:, None, None].astype(dtype)
+            K = K.at[pi, pj].add(Kb)
+            off = (pi != pj) & (valid > 0)
+            K = K.at[pj, pi].add(jnp.swapaxes(Kb, 1, 2) *
+                                 off[:, None, None].astype(dtype))
+            return K, None
+
+        K0 = jnp.zeros((ndom, ndom, m_max, m_max), dtype)
+        if vary_axes:   # scan carry must match the shard-varying inputs
+            K0 = jax.lax.pcast(K0, vary_axes, to="varying")
+        K, _ = jax.lax.scan(step, K0,
+                            pp_s.reshape(-1, pair_chunk, 3))
+        return K
+
+    if mesh is None:
+        K = jax.jit(shard_fn)(jnp.asarray(pp), rho, coords, maskf)
+    else:
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+        axes = tuple(mesh.axis_names)
+
+        def sharded(pp_dev, rho, coords, maskf):
+            vary = lambda x: jax.lax.pcast(x, axes, to="varying")
+            K = shard_fn(pp_dev, vary(rho), vary(coords), vary(maskf),
+                         vary_axes=axes)
+            return jax.lax.psum(K, axes)
+
+        K = jax.jit(shard_map(
+            sharded, mesh=mesh,
+            in_specs=(P(axes), P(), P(), P()),
+            out_specs=P()))(jnp.asarray(pp.reshape(-1, 3)), rho, coords,
+                            maskf)
+    return K.transpose(0, 2, 1, 3).reshape(ndom * m_max, ndom * m_max)
+
+
+def compute_dd_kl_device(cells, points, epart, ndom, cov, nev: int,
+                         relative_local: float = 0.99,
+                         relative_global: float = 0.99,
+                         forget: float = -1.0, dom_chunk: int | None = None,
+                         pair_chunk: int = 64, mesh=None, verbose=False):
+    """End-to-end device-resident two-level KL (pll_compute_kl analogue,
+    reference :457-614). Heavy stages shard over `mesh`'s axes when given."""
+    tables = build_kl_tables(cells, points, epart, ndom)
+    lam_d, phi_d, rho, m_d, energy = local_kls_device(
+        tables, points, cov, nev, relative=relative_local,
+        dom_chunk=dom_chunk)
+    K = reduced_covariance_device(tables, points, rho, cov, forget=forget,
+                                  pair_chunk=pair_chunk, mesh=mesh)
+    # final reduced eigensolve + mesh projection (shared with the serial path)
+    sub = _tables_as_subdomains(tables)
+    lam, psi = solve_global_reduced_kl(points.shape[0], np.asarray(K),
+                                       float(energy), sub,
+                                       np.asarray(phi_d),
+                                       relative=relative_global,
+                                       verbose=verbose)
+    return lam, psi
+
+
+def _tables_as_subdomains(tables: KLDomTables) -> KLSubdomains:
+    """Adapter for solve_global_reduced_kl (which only uses nodes/mask/cnt)."""
+    return KLSubdomains(
+        ndom=tables.ndom, n_max=tables.n_max, nodes=tables.nodes,
+        node_mask=tables.node_mask,
+        n_nodes=tables.node_mask.sum(axis=1), centers=tables.centers,
+        areas=tables.areas, M_local=jnp.zeros(()), cnt=tables.cnt)

@@ -1,0 +1,95 @@
+"""Device-resident two-level KL (kl/dd_device.py): parity with the host
+pipeline, and sharded-vs-serial equality of the reduced covariance on the
+8-device CPU mesh (the TPU pll_compute_kl, C15/Example05)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from krylov_spdes_tpu.fem.mesh import get_mesh
+from krylov_spdes_tpu.fem.partition import mesh_partition
+from krylov_spdes_tpu.kl.covariance import make_cov
+from krylov_spdes_tpu.kl import dd as kldd
+from krylov_spdes_tpu.kl import dd_device as kldev
+
+
+def _problem(nn=500, ndom=6, seed=2, L=0.3):
+    mesh = get_mesh(nn, jitter=0.2, seed=seed)
+    epart, _ = mesh_partition(mesh.cells, mesh.points, ndom,
+                              mesh.cell_neighbors)
+    cov = make_cov("sexp", sig2=1.0, L=L)
+    return mesh, epart, cov
+
+
+def test_device_local_stage_matches_host():
+    mesh, epart, cov = _problem()
+    ndom, nev = 6, 12
+    sub = kldd.set_kl_subdomains(mesh.cells, mesh.points, epart, ndom)
+    lam_h, phi_h, m_h, e_h = kldd.solve_local_kls(sub, mesh.points, cov, nev,
+                                                  relative=0.99)
+    tables = kldev.build_kl_tables(mesh.cells, mesh.points, epart, ndom)
+    lam_d, phi_d, rho, m_d, e_d = kldev.local_kls_device(
+        tables, mesh.points, cov, nev, relative=0.99, dom_chunk=2)
+    np.testing.assert_array_equal(np.asarray(m_d), m_h)
+    assert abs(float(e_d) - e_h) < 1e-10 * abs(e_h)
+    m_max = lam_h.shape[1]
+    np.testing.assert_allclose(np.asarray(lam_d)[:, :m_max], lam_h,
+                               rtol=1e-9, atol=1e-12)
+    # modes match up to sign
+    P_h = np.abs(phi_h)
+    P_d = np.abs(np.asarray(phi_d)[:, :, :m_max])
+    np.testing.assert_allclose(P_d, P_h, rtol=1e-6, atol=1e-7)
+    # rho really is M phi
+    Ml = np.asarray(sub.M_local)
+    rho_ref = np.einsum("dij,djk->dik", Ml, np.asarray(phi_d))
+    np.testing.assert_allclose(np.asarray(rho), rho_ref, rtol=1e-9,
+                               atol=1e-12)
+
+
+def test_device_reduced_K_matches_host():
+    mesh, epart, cov = _problem(nn=400, ndom=4)
+    ndom, nev = 4, 10
+    sub = kldd.set_kl_subdomains(mesh.cells, mesh.points, epart, ndom)
+    lam_h, phi_h, m_h, e_h = kldd.solve_local_kls(sub, mesh.points, cov, nev)
+    K_h = kldd.assemble_reduced_covariance(sub, mesh.points, cov, phi_h)
+
+    tables = kldev.build_kl_tables(mesh.cells, mesh.points, epart, ndom)
+    rho = jnp.einsum("dij,djk->dik", sub.M_local,
+                     jnp.asarray(phi_h, sub.M_local.dtype))
+    K_d = kldev.reduced_covariance_device(tables, mesh.points, rho, cov,
+                                          pair_chunk=3)
+    np.testing.assert_allclose(np.asarray(K_d), K_h, rtol=1e-9, atol=1e-11)
+
+
+def test_sharded_reduced_K_equals_serial():
+    """shard_map pair-tile assembly with psum == single-device scan."""
+    from krylov_spdes_tpu.parallel.sharding import make_mesh
+    if jax.device_count() < 8:
+        import pytest
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh_dev = make_mesh(n_dom=8, n_chain=1)
+    mesh, epart, cov = _problem(nn=600, ndom=12, seed=4)
+    tables = kldev.build_kl_tables(mesh.cells, mesh.points, epart, 12)
+    lam_d, phi_d, rho, m_d, e_d = kldev.local_kls_device(
+        tables, mesh.points, cov, 10, dom_chunk=4)
+    K_serial = kldev.reduced_covariance_device(tables, mesh.points, rho, cov,
+                                               pair_chunk=4)
+    K_shard = kldev.reduced_covariance_device(tables, mesh.points, rho, cov,
+                                              pair_chunk=4, mesh=mesh_dev)
+    np.testing.assert_allclose(np.asarray(K_shard), np.asarray(K_serial),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_end_to_end_device_kl_matches_host_pipeline():
+    mesh, epart, cov = _problem(nn=600, ndom=6, seed=7, L=0.4)
+    lam_h, psi_h = kldd.compute_dd_kl(mesh.cells, mesh.points, epart, 6, cov,
+                                      nev=15, relative_local=0.999,
+                                      relative_global=0.99)
+    lam_d, psi_d = kldev.compute_dd_kl_device(
+        mesh.cells, mesh.points, epart, 6, cov, nev=15,
+        relative_local=0.999, relative_global=0.99, dom_chunk=2,
+        pair_chunk=4)
+    k = min(len(lam_h), len(lam_d))
+    np.testing.assert_allclose(lam_d[:k], lam_h[:k], rtol=1e-7)
+    np.testing.assert_allclose(np.abs(psi_d[:, :k]), np.abs(psi_h[:, :k]),
+                               rtol=1e-4, atol=1e-6)
