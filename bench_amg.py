@@ -1,0 +1,121 @@
+"""AMG-PCG benchmark on the Example01 workload (reference:
+Example01_EllipticPde.jl:48-66 — 1M-DoF lognormal deterministic solve with
+SA-AMG PCG).
+
+Measures, on the default backend (the tunneled TPU chip):
+  - on-device SA-AMG setup time (the whole hierarchy is ONE compiled program
+    of the stiffness planes: precond/stencil_amg.py),
+  - AMG-PCG solve wall-clock + iterations,
+  - plain CG wall-clock + iterations on the same operator (the fused-Jacobi
+    comparison point of VERDICT.md next-round item 2),
+all through NSOLVE carry-sequenced solves in one jit so the ~25-30 ms tunnel
+round trip amortizes (see STATUS.md timing traps).
+
+Prints one JSON line: ms/solve for amg vs cg and the speedup.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from krylov_spdes_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
+    from krylov_spdes_tpu.fem.mesh import get_mesh
+    from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+    from krylov_spdes_tpu.fem.assembly import (prepare_elliptic_assembly,
+                                               do_isotropic_elliptic_assembly)
+    from krylov_spdes_tpu.ops.stencil import build_stencil_op, to_full_vector
+    from krylov_spdes_tpu.precond.stencil_amg import (stencil_amg_setup,
+                                                      _hier_shapes, _vcycle)
+    from krylov_spdes_tpu.solvers.cg import _cg_impl, _pcg_impl
+    from krylov_spdes_tpu.solvers.base import as_linear_op, static_bind
+    from jax.tree_util import Partial
+
+    nnode = int(os.environ.get("BENCH_NNODE", "1000000"))
+    nsolve = int(os.environ.get("BENCH_NSOLVE", "8"))
+    rtol = float(os.environ.get("BENCH_RTOL", "1e-6"))
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        mesh = get_mesh(nnode)
+        maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+        asm = prepare_elliptic_assembly(
+            mesh.cells, mesh.points, maps,
+            lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+        rng = np.random.default_rng(0)
+        coeff = np.exp(0.3 * rng.normal(size=mesh.nnode))
+        A, b = do_isotropic_elliptic_assembly(asm, coeff)
+        m1 = int(round(np.sqrt(mesh.nnode)))
+        St = build_stencil_op(A, maps, (m1, m1))
+        b_full = to_full_vector(maps, jnp.asarray(b), mesh.nnode)
+    dev = jax.devices()[0]
+    St = jax.device_put(St, dev)
+    b_full = jax.device_put(b_full, dev)
+    nnz = A.nnz
+
+    planes = St.planes.at[0].add(St.dir_diag)
+    live = 1.0 - St.dir_diag
+    setup = jax.jit(lambda p, l: stencil_amg_setup(p, l, St.H, St.W))
+    hier = setup(planes, live)                      # compile
+    _ = float(jnp.sum(hier["coarse_inv"]))
+    t0 = time.perf_counter()
+    hier = setup(planes, live)
+    _ = float(jnp.sum(hier["coarse_inv"]))
+    t_setup = time.perf_counter() - t0
+
+    shapes = _hier_shapes(St.H, St.W, len(hier["levels"]))
+    M = Partial(static_bind(_vcycle, 1, 1, shapes), hier)
+    Aop = as_linear_op(St)
+    scales = jnp.linspace(1.0, 2.0, nsolve, dtype=b_full.dtype)
+    x0 = jnp.zeros_like(b_full)
+
+    def timed(fn):
+        out = fn(scales)                            # compile + run
+        _ = [float(jnp.sum(o)) for o in out]
+        t0 = time.perf_counter()
+        out = fn(scales)
+        its = np.asarray(out[1])
+        _ = float(jnp.sum(out[0]))
+        dt = time.perf_counter() - t0
+        return dt / nsolve, int(its[-1])
+
+    @jax.jit
+    def run_amg(scales):
+        def step(carry, s):
+            bk = b_full * (s + 1e-30 * carry)
+            x, it, _ = _pcg_impl(Aop, M, bk, x0, 400, rtol)
+            return jnp.sum(x), it
+        last, its = jax.lax.scan(step, jnp.zeros((), b_full.dtype), scales)
+        return last, its
+
+    @jax.jit
+    def run_cg(scales):
+        def step(carry, s):
+            bk = b_full * (s + 1e-30 * carry)
+            x, it, _ = _cg_impl(Aop, bk, x0, 8000, rtol)
+            return jnp.sum(x), it
+        last, its = jax.lax.scan(step, jnp.zeros((), b_full.dtype), scales)
+        return last, its
+
+    ms_amg, it_amg = timed(run_amg)
+    ms_cg, it_cg = timed(run_cg)
+
+    print(json.dumps({
+        "metric": "amg_pcg_1m",
+        "nnode": nnode, "nnz": int(nnz), "rtol": rtol,
+        "setup_ms": round(1e3 * t_setup, 2),
+        "amg_ms_per_solve": round(1e3 * ms_amg, 2), "amg_iters": it_amg,
+        "cg_ms_per_solve": round(1e3 * ms_cg, 2), "cg_iters": it_cg,
+        "speedup_vs_cg": round(ms_cg / ms_amg, 2),
+        "levels": len(hier["levels"]) + 1,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,13 @@ import numpy as np
 
 
 def main():
-    args = base_parser(__doc__).parse_args()
+    p = base_parser(__doc__)
+    p.add_argument("--precond", default="amg",
+                   choices=["amg", "stencil-amg"],
+                   help="amg: host SA-AMG setup + CSR V-cycle (any mesh); "
+                        "stencil-amg: all-stencil SA-AMG, setup AND apply "
+                        "on device (structured meshes — the TPU fast path)")
+    args = p.parse_args()
     jax = init_backend(args)
     from krylov_spdes_tpu.fem.assembly import do_isotropic_elliptic_assembly
     from krylov_spdes_tpu.fem.bc import append_bc
@@ -23,11 +29,26 @@ def main():
     mesh, maps, asm = build_fem(args)
     with m.phase("assembly"):
         A, b = do_isotropic_elliptic_assembly(asm, np.ones(mesh.nnode))
-    with m.phase("amg_setup"):
-        M = amg_precond(A)
-    with m.phase("pcg", nnz=A.nnz):
-        res = pcg(A, b, M=M)
-        jax.block_until_ready(res.x)
+    if args.precond == "stencil-amg":
+        from krylov_spdes_tpu.ops.stencil import (build_stencil_op,
+                                                  to_free_vector,
+                                                  to_full_vector)
+        from krylov_spdes_tpu.precond.stencil_amg import stencil_amg_precond
+        m1 = int(round(np.sqrt(mesh.nnode)))
+        St = build_stencil_op(A, maps, (m1, m1))
+        with m.phase("amg_setup"):
+            M = stencil_amg_precond(St)
+            jax.block_until_ready(M.args[0]["coarse_inv"])
+        with m.phase("pcg", nnz=A.nnz):
+            res = pcg(St, to_full_vector(maps, b, mesh.nnode), M=M)
+            jax.block_until_ready(res.x)
+        res.x = to_free_vector(maps, res.x)
+    else:
+        with m.phase("amg_setup"):
+            M = amg_precond(A)
+        with m.phase("pcg", nnz=A.nnz):
+            res = pcg(A, b, M=M)
+            jax.block_until_ready(res.x)
     u = append_bc(maps, np.asarray(res.x), mesh.points, uex)
     print(f"n={maps.n_free} it={int(res.it)} "
           f"rel={res.history()[-1] / np.linalg.norm(np.asarray(b)):.2e}")

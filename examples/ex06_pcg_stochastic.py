@@ -15,7 +15,9 @@ import numpy as np
 
 def main():
     p = base_parser(__doc__)
-    p.add_argument("--strategies", default="amg,lorasc,bj")
+    p.add_argument("--strategies", default="amg,lorasc,bj",
+                   help="comma list of amg | lorasc | bj | samg "
+                        "(samg = all-stencil TPU AMG, device-speed rebuild)")
     p.add_argument("--save-conditioning", action="store_true",
                    help="record per-sample condition estimates of Pi^-1 A "
                         "(Example06:185-209)")
@@ -45,9 +47,22 @@ def main():
     strategies = args.strategies.split(",")
     bj_plan = prepare_block_jacobi_plan(A0, max(2, args.ndom))
 
+    St0 = None
+    if "samg" in strategies:
+        from krylov_spdes_tpu.ops.stencil import (build_stencil_op,
+                                                  to_full_vector)
+        from krylov_spdes_tpu.precond.stencil_amg import stencil_amg_precond
+        m1 = int(round(np.sqrt(mesh.nnode)))
+        St0 = build_stencil_op(A0, maps, (m1, m1))
+
     def build_precond(name, A, coeff):
         if name == "amg":
             return amg_precond(A)
+        if name == "samg":
+            # value-only refill + ONE compiled on-device setup program — the
+            # "rebuilt" arm at device speed (Example06:115-124's costly host
+            # AMG setup per sample is the reference's acknowledged bottleneck)
+            return stencil_amg_precond(St0.with_csr_data(A.data))
         if name == "bj":
             return block_jacobi_precond(A, max(2, args.ndom), plan=bj_plan)
         if name == "lorasc":
@@ -71,15 +86,20 @@ def main():
         coeff = np.exp(np.asarray(smp.g))
         A, b = do_isotropic_elliptic_assembly(asm, coeff)
         for s in strategies:
-            r = pcg(A, b, M=const_preconds[s])
+            if s == "samg":
+                Ak = St0.with_csr_data(A.data)
+                bk = to_full_vector(maps, jnp.asarray(b), mesh.nnode)
+            else:
+                Ak, bk = A, b
+            r = pcg(Ak, bk, M=const_preconds[s])
             iters[f"{s}_const"][ireal] = int(r.it)
-            r = pcg(A, b, M=build_precond(s, A, coeff))
+            r = pcg(Ak, bk, M=build_precond(s, A, coeff))
             iters[f"{s}_rebuilt"][ireal] = int(r.it)
             if kappas is not None:
                 from krylov_spdes_tpu.utils.diagnostics import \
                     condition_estimate
                 kappas[s][ireal] = condition_estimate(
-                    A, const_preconds[s], iters=60)[2]
+                    Ak, const_preconds[s], iters=60)[2]
         if spectra is not None:
             from krylov_spdes_tpu.utils.diagnostics import \
                 preconditioned_spectrum

@@ -43,3 +43,17 @@ def default_dtype():
 
 def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
+
+
+def enable_compilation_cache(path: str | None = None):
+    """Enable JAX's persistent compilation cache (off by default).
+
+    On the tunneled chip, first compiles cost tens of seconds to minutes
+    (e.g. the on-device AMG setup); the cache makes them one-time per
+    machine. Called by the bench drivers and examples/common.py."""
+    path = path or os.environ.get("KRYLOV_JAX_CACHE",
+                                  os.path.expanduser("~/.cache/krylov_jax"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

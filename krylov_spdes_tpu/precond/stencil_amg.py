@@ -1,0 +1,228 @@
+"""Smoothed-aggregation AMG where EVERY level is a 9-point stencil operator —
+the TPU-fast AMG path (setup AND apply fully on device, zero gathers).
+
+The reference's workhorse preconditioner is AlgebraicMultigrid.jl's smoothed
+aggregation (used at ~30 call sites, e.g. Example01_EllipticPde.jl:56,
+Example06_PcgStochasticEllipticPde.jl:117). A direct port keeps irregular
+CSR hierarchies whose SpMV gathers run on the TPU scalar core at ~0.1 Gnnz/s.
+This module exploits a structural fact instead:
+
+  On a structured (H, W) node grid, aggregate 3x3 node blocks. The tentative
+  prolongator T is piecewise-constant over blocks; the smoothed prolongator
+  P = (I - sigma D^-1 A) T has a 5x5 fine-cell footprint per coarse node, so
+  A P has a 7x7 footprint and A_c = P^T A P couples only aggregates with
+  |dX|,|dY| <= 1 (3*2 = 6 > 2.5 + 3.5). The Galerkin coarse operator is
+  therefore ANOTHER 9-point stencil on the (ceil(H/3), ceil(W/3)) grid, and
+  recursively so at every level. Every smoother sweep, restriction,
+  prolongation, and coarse-grid product is then dense plane arithmetic that
+  XLA fuses into VPU passes — the same speed-of-light path as ops/stencil.py.
+
+Setup is a closed-form on-device computation (jit-able, value-only):
+  - sigma = omega / rho(D^-1 A), rho by fixed-iteration power method;
+  - the 9 coarse planes are EXTRACTED by applying the matrix-free
+    P^T A P to the 9 mod-3 comb vectors e_{a,b}[X,Y] = [X=a (3)][Y=b (3)]:
+    because the coarse stencil is within +-1 < 3, each application reveals
+    exactly one plane coefficient per node;
+  - the coarsest level is materialized by vmapped application to the
+    identity and Cholesky-factorized on device.
+
+Because setup is one compiled program of the stiffness planes, rebuilding the
+preconditioner per realization (the reference's Example06 "rebuilt" arm,
+Example06:115-124) costs milliseconds instead of a host AMG setup per sample.
+
+Dirichlet handling: stencil operators carry identity rows on Dirichlet nodes
+(ops/stencil.py). Aggregation weights are zeroed there (a `live` mask threaded
+through levels), so P columns vanish on Dirichlet rows, coarse corrections
+never touch them, and blocks with no live node get an identity diagonal at
+the coarse level (their residuals are identically zero).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.tree_util import Partial
+
+from ..ops.stencil import OFFSETS, StencilOp
+
+# NOTE on constants: everything index-shaped below is built with NumPy, not
+# jnp — ops on concrete values inside a traced function execute EAGERLY on
+# the device, and through the tunneled chip each unique eager op costs ~1 s
+# of compile (measured: the jnp version of the comb masks took 137 s to
+# trace; the numpy version is instant).
+
+
+def _plane_matvec(planes, x2):
+    """y = A x for a 9-plane stencil over an (H, W) grid (both 2-D arrays)."""
+    H, W = x2.shape
+    xp = jnp.pad(x2, 1)
+    y = planes[0] * x2
+    for k, (di, dj) in enumerate(OFFSETS[1:], start=1):
+        y = y + planes[k] * jax.lax.dynamic_slice(xp, (1 + di, 1 + dj), (H, W))
+    return y
+
+
+def _upsample3(xc, H: int, W: int):
+    return jnp.repeat(jnp.repeat(xc, 3, axis=0), 3, axis=1)[:H, :W]
+
+
+def _downsample3(xf):
+    H, W = xf.shape
+    Hp, Wp = -(-H // 3) * 3, -(-W // 3) * 3
+    xp = jnp.pad(xf, ((0, Hp - H), (0, Wp - W)))
+    return xp.reshape(Hp // 3, 3, Wp // 3, 3).sum(axis=(1, 3))
+
+
+def _power_rho(planes, dinv, iters: int = 12):
+    """rho(D^-1 A) by fixed-iteration power method (deterministic start)."""
+    H, W = dinv.shape
+    v_np = np.sin(0.7 * np.arange(H * W) + 0.3).reshape(H, W)
+    v0 = jnp.asarray(v_np / np.linalg.norm(v_np), dinv.dtype)
+
+    def body(_, carry):
+        v, _ = carry
+        w = dinv * _plane_matvec(planes, v)
+        lam = jnp.linalg.norm(w)
+        return w / (lam + 1e-30), lam
+
+    _, rho = jax.lax.fori_loop(0, iters, body, (v0, jnp.array(1.0, dinv.dtype)))
+    return rho
+
+
+def _level_ops(planes, dinv, sigma, wf, H: int, W: int):
+    """Matrix-free T/P/A_c applies for one level (wf = live upsample weights)."""
+    def P_apply(xc):
+        u = _upsample3(xc, H, W) * wf
+        return u - sigma * dinv * _plane_matvec(planes, u)
+
+    def Pt_apply(xf):
+        return _downsample3(
+            (xf - sigma * _plane_matvec(planes, dinv * xf)) * wf)
+
+    def Ac_apply(xc):
+        return Pt_apply(_plane_matvec(planes, P_apply(xc)))
+
+    return P_apply, Pt_apply, Ac_apply
+
+
+def _extract_coarse_planes(Ac_apply, Hc: int, Wc: int, dtype):
+    """Recover the 9 coarse stencil planes from 9 comb applications.
+
+    plane_k[X,Y] = (A_c e_{a,b})[X,Y] with a=(X+di_k)%3, b=(Y+dj_k)%3 — the
+    selection factorizes over rows and columns, so it is two small einsums
+    with (9, 3, Hc)/(9, 3, Wc) numpy-built selectors."""
+    xr = np.arange(Hc) % 3
+    yr = np.arange(Wc) % 3
+    rowmask = (np.arange(3)[:, None] == xr[None, :])             # (3, Hc)
+    colmask = (np.arange(3)[:, None] == yr[None, :])             # (3, Wc)
+    combs = jnp.asarray((rowmask[:, None, :, None] *
+                         colmask[None, :, None, :]).reshape(9, Hc, Wc)
+                        .astype(np.float64), dtype)
+    ys = jax.vmap(Ac_apply)(combs).reshape(3, 3, Hc, Wc)
+
+    rowsel = np.zeros((9, 3, Hc))
+    colsel = np.zeros((9, 3, Wc))
+    for k, (di, dj) in enumerate(OFFSETS):
+        rowsel[k, (xr + di) % 3, np.arange(Hc)] = 1.0
+        colsel[k, (yr + dj) % 3, np.arange(Wc)] = 1.0
+    t = jnp.einsum("kax,abxy->kbxy", jnp.asarray(rowsel, dtype), ys)
+    return jnp.einsum("kby,kbxy->kxy", jnp.asarray(colsel, dtype), t)
+
+
+def stencil_amg_setup(planes, live, H: int, W: int, *, max_coarse: int = 100,
+                      max_levels: int = 12, omega: float = 4.0 / 3.0):
+    """Build the all-stencil SA-AMG hierarchy. Pure jax (jit-able; shapes are
+    Python statics derived from H, W).
+
+    planes: (9, H, W) stiffness planes with the FULL diagonal in planes[0]
+            (identity rows on Dirichlet nodes included).
+    live:   (H, W) 1.0 on free nodes, 0.0 on Dirichlet/padding nodes.
+    """
+    dtype = planes.dtype
+    levels = []
+    while H * W > max_coarse and len(levels) < max_levels - 1 and min(H, W) >= 3:
+        Hc, Wc = -(-H // 3), -(-W // 3)
+        dinv = 1.0 / planes[0]
+        rho = _power_rho(planes, dinv)
+        sigma = omega / rho
+        counts = _downsample3(live)
+        wf = live * _upsample3(
+            jnp.where(counts > 0, 1.0 / jnp.sqrt(jnp.maximum(counts, 1.0)),
+                      0.0), H, W)
+        P_apply, Pt_apply, Ac_apply = _level_ops(planes, dinv, sigma, wf, H, W)
+        planes_c = _extract_coarse_planes(Ac_apply, Hc, Wc, dtype)
+        # empty aggregates (all-Dirichlet 3x3 blocks) become identity rows
+        planes_c = planes_c.at[0].add((counts == 0).astype(dtype))
+        levels.append(dict(planes=planes, dinv=dinv, sigma=sigma, wf=wf))
+        planes, live, H, W = planes_c, (counts > 0).astype(dtype), Hc, Wc
+    # coarsest: materialize and EXPLICITLY invert on device — the V-cycle's
+    # coarse solve is then one (n, n) matvec instead of two sequential
+    # triangular solves (TPU triangular solves are while-loops; measured
+    # ~ms-class per apply, dominating small-problem cycles)
+    n = H * W
+    eye = jnp.asarray(np.eye(n), dtype)
+    Acoarse = jax.vmap(
+        lambda e: _plane_matvec(planes, e.reshape(H, W)).reshape(-1))(eye)
+    Areg = Acoarse.T + 1e-6 * jnp.trace(Acoarse) / n * eye
+    L = jnp.linalg.cholesky(Areg)
+    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    coarse_inv = Linv.T @ Linv
+    return dict(levels=tuple(levels), coarse_inv=coarse_inv)
+
+
+def _vcycle(npre, npost, shapes, hier, r):
+    """One V-cycle; `shapes` is the static (H, W) per level (incl. coarsest)."""
+    levels = hier["levels"]
+
+    def smooth(lev, x, b, nsweep):
+        for _ in range(nsweep):
+            x = x + lev["sigma"] * lev["dinv"] * (
+                b - _plane_matvec(lev["planes"], x))
+        return x
+
+    def down(l, b):
+        if l == len(levels):
+            return (hier["coarse_inv"] @ b.reshape(-1)).reshape(b.shape)
+        lev = levels[l]
+        H, W = shapes[l]
+        P_apply, Pt_apply, _ = _level_ops(lev["planes"], lev["dinv"],
+                                          lev["sigma"], lev["wf"], H, W)
+        x = smooth(lev, jnp.zeros_like(b), b, npre)
+        rc = Pt_apply(b - _plane_matvec(lev["planes"], x))
+        xc = down(l + 1, rc)
+        x = x + P_apply(xc)
+        return smooth(lev, x, b, npost)
+
+    H0, W0 = shapes[0]
+    return down(0, r.reshape(H0, W0)).reshape(-1)
+
+
+def _hier_shapes(H: int, W: int, n_levels: int):
+    shapes = [(H, W)]
+    for _ in range(n_levels):
+        H, W = -(-H // 3), -(-W // 3)
+        shapes.append((H, W))
+    return tuple(shapes)
+
+
+def stencil_amg_precond(S: StencilOp, *, max_coarse: int = 100,
+                        max_levels: int = 12, omega: float = 4.0 / 3.0,
+                        npre: int = 1, npost: int = 1):
+    """SA-AMG preconditioner for a StencilOp (AMGPreconditioner analogue,
+    Example01_EllipticPde.jl:56). Returns a pytree callable for pcg(M=...).
+
+    Setup runs as ONE compiled device program; call again with a refilled
+    StencilOp (with_csr_data) to rebuild per realization at device speed.
+    """
+    planes = S.planes.at[0].add(S.dir_diag)
+    live = 1.0 - S.dir_diag
+    setup = jax.jit(partial(stencil_amg_setup, H=S.H, W=S.W,
+                            max_coarse=max_coarse, max_levels=max_levels,
+                            omega=omega))
+    hier = setup(planes, live)
+    shapes = _hier_shapes(S.H, S.W, len(hier["levels"]))
+    from ..solvers.base import static_bind
+    return Partial(static_bind(_vcycle, npre, npost, shapes), hier)

@@ -16,6 +16,7 @@ EXDIR = os.path.join(os.path.dirname(os.path.dirname(
 
 CASES = [
     ("ex01_elliptic_pde.py", ["--nnode", "400"]),
+    ("ex01_elliptic_pde.py", ["--nnode", "400", "--precond", "stencil-amg"]),
     ("ex03_dd_schur.py", ["--nnode", "500", "--ndom", "4"]),
     ("ex09_defpcg_mcmc.py", ["--nnode", "400", "--ndom", "4",
                              "--nchains", "1", "--nsmp", "2", "--L", "0.4"]),
@@ -65,7 +66,7 @@ MORE_CASES = [
     ("ex04_kl_dd.py", ["--nnode", "400", "--ndom", "4", "--nev", "10",
                        "--L", "0.4"]),
     ("ex06_pcg_stochastic.py", ["--nnode", "400", "--ndom", "4",
-                                "--nreals", "1", "--strategies", "bj",
+                                "--nreals", "1", "--strategies", "bj,samg",
                                 "--L", "0.4"]),
     ("ex14_shepard.py", ["--nnode", "300", "--nreals", "1", "--P", "3",
                          "--L", "0.4"]),

@@ -1,0 +1,118 @@
+"""All-stencil SA-AMG: Galerkin parity vs an explicit scipy triple product,
+V-cycle convergence, and near mesh-independent iteration counts.
+
+Reference target: AlgebraicMultigrid SA used at Example01_EllipticPde.jl:56,
+Example06_PcgStochasticEllipticPde.jl:117.
+"""
+
+import numpy as np
+import scipy.sparse as sp
+import jax.numpy as jnp
+
+from krylov_spdes_tpu.fem.mesh import get_mesh
+from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+from krylov_spdes_tpu.fem.assembly import (
+    prepare_elliptic_assembly, do_isotropic_elliptic_assembly)
+from krylov_spdes_tpu.ops.stencil import (
+    build_stencil_op, to_full_vector, to_free_vector)
+from krylov_spdes_tpu.precond.stencil_amg import (
+    stencil_amg_setup, stencil_amg_precond, _plane_matvec)
+from krylov_spdes_tpu.solvers.cg import cg, pcg
+import jax
+
+
+def _setup(nn=900, seed=0):
+    mesh = get_mesh(nn, jitter=0.2, seed=seed)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    asm = prepare_elliptic_assembly(
+        mesh.cells, mesh.points, maps,
+        lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+    rng = np.random.default_rng(seed)
+    A, b = do_isotropic_elliptic_assembly(
+        asm, np.exp(0.8 * rng.normal(size=mesh.nnode)))
+    m1 = int(round(np.sqrt(mesh.nnode)))
+    St = build_stencil_op(A, maps, (m1, m1))
+    return mesh, maps, A, b, St
+
+
+def _materialize(planes, H, W):
+    n = H * W
+    eye = jnp.eye(n, dtype=planes.dtype)
+    M = jax.vmap(lambda e: _plane_matvec(planes, e.reshape(H, W)).reshape(-1))(
+        eye)
+    return np.asarray(M).T
+
+
+def test_coarse_planes_match_explicit_galerkin():
+    """Comb-extracted coarse planes == scipy P^T A P with the same T, sigma."""
+    mesh, maps, A, b, St = _setup(nn=400)
+    H, W = St.H, St.W
+    planes = St.planes.at[0].add(St.dir_diag)
+    live = 1.0 - St.dir_diag
+    hier = stencil_amg_setup(planes, live, H, W, max_coarse=20)
+    lev0 = hier["levels"][0]
+
+    Af = sp.csr_matrix(_materialize(planes, H, W))
+    # tentative prolongator from the level's own live weights
+    Hc, Wc = -(-H // 3), -(-W // 3)
+    ii = np.arange(H * W)
+    agg = (ii // W // 3) * Wc + (ii % W) // 3
+    T = sp.csr_matrix((np.asarray(lev0["wf"]).ravel(), (ii, agg)),
+                      shape=(H * W, Hc * Wc))
+    sigma = float(lev0["sigma"])
+    Dinv = sp.diags(np.asarray(1.0 / planes[0]).ravel())
+    P = (sp.identity(H * W) - sigma * (Dinv @ Af)) @ T
+    Ac_ref = (P.T @ Af @ P).toarray()
+    # empty aggregates get identity rows in the device hierarchy
+    counts = np.asarray(live).reshape(H, W)
+    cpad = np.zeros((Hc * 3, Wc * 3))
+    cpad[:H, :W] = counts
+    csum = cpad.reshape(Hc, 3, Wc, 3).sum(axis=(1, 3)).ravel()
+    Ac_ref[csum == 0, csum == 0] = 1.0
+
+    assert len(hier["levels"]) > 1   # 400 DoF / max_coarse=20 -> 2 levels
+    Ac_dev = _materialize(hier["levels"][1]["planes"], Hc, Wc)
+    np.testing.assert_allclose(Ac_dev, Ac_ref, rtol=1e-8, atol=1e-10)
+
+
+def test_amg_pcg_converges_and_matches_cg():
+    mesh, maps, A, b, St = _setup(nn=3600, seed=2)
+    bf = to_full_vector(maps, jnp.asarray(b), mesh.nnode)
+    M = stencil_amg_precond(St)
+    r = pcg(St, bf, M=M)
+    assert float(r.history()[-1]) <= 1e-7 * float(jnp.linalg.norm(bf))
+    r0 = cg(St, bf)
+    np.testing.assert_allclose(np.asarray(to_free_vector(maps, r.x)),
+                               np.asarray(to_free_vector(maps, r0.x)),
+                               rtol=1e-5, atol=1e-8)
+    # AMG must crush the iteration count vs unpreconditioned CG
+    assert int(r.it) < int(r0.it) / 4, (int(r.it), int(r0.it))
+
+
+def test_iterations_near_mesh_independent():
+    its = []
+    for nn in (900, 8100):
+        mesh, maps, A, b, St = _setup(nn=nn, seed=4)
+        bf = to_full_vector(maps, jnp.asarray(b), mesh.nnode)
+        M = stencil_amg_precond(St)
+        r = pcg(St, bf, M=M)
+        assert float(r.history()[-1]) <= 1e-7 * float(jnp.linalg.norm(bf))
+        its.append(int(r.it))
+    # 9x the DoFs may cost at most ~60% more iterations (AMG signature)
+    assert its[1] <= 1.6 * its[0] + 2, its
+
+
+def test_rebuild_is_value_only():
+    """Refilled planes reuse the compiled setup (no retrace) and stay correct."""
+    mesh, maps, A, b, St = _setup(nn=900, seed=6)
+    asm = prepare_elliptic_assembly(
+        mesh.cells, mesh.points, maps,
+        lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+    rng = np.random.default_rng(7)
+    A2, b2 = do_isotropic_elliptic_assembly(
+        asm, np.exp(0.8 * rng.normal(size=mesh.nnode)))
+    St2 = St.with_csr_data(A2.data)
+    bf = to_full_vector(maps, jnp.asarray(b2), mesh.nnode)
+    M2 = stencil_amg_precond(St2)
+    r = pcg(St2, bf, M=M2)
+    assert float(r.history()[-1]) <= 1e-7 * float(jnp.linalg.norm(bf))
