@@ -63,6 +63,21 @@ def assemble_gamma_matrix(S: SchurOperator):
     return out.at[rows.reshape(-1), cols.reshape(-1)].add(vals.reshape(-1))
 
 
+def assemble_gamma_sparse(S: SchurOperator):
+    """Sparse (scipy CSR) global A_ΓΓ from the batched local blocks — the
+    large-interface path (n_Γ ≈ 1e5 would be 1e10 dense entries). Host-side
+    setup only."""
+    import scipy.sparse as sp
+    g = np.asarray(S.gammad_to_gamma)
+    gm = np.asarray(S.gmask)
+    vals = np.asarray(S.A_GGd) * gm[:, :, None] * gm[:, None, :]
+    rows = np.repeat(g[:, :, None], g.shape[1], axis=2)
+    cols = np.repeat(g[:, None, :], g.shape[1], axis=1)
+    n = S.n_gamma
+    return sp.csr_matrix((vals.reshape(-1),
+                          (rows.reshape(-1), cols.reshape(-1))), (n, n))
+
+
 def assemble_global_schur_dense(S: SchurOperator):
     """Dense global S = Σ_d scatter(Sd)."""
     Sd = assemble_local_schurs(S)
@@ -119,8 +134,13 @@ class LorascPreconditioner:
     sigma: np.ndarray
 
 
-def _lorasc_apply(n_free, A_II_L, A_IG, g2g, gmask, ifree, gfree, LG,
-                  E, Sig, r):
+def _dense_gamma_solve(LG, z):
+    y = jax.scipy.linalg.solve_triangular(LG, z, lower=True)
+    return jax.scipy.linalg.solve_triangular(LG.T, y, lower=False)
+
+
+def _lorasc_apply(n_free, A_II_L, A_IG, g2g, gmask, ifree, gfree,
+                  gamma_solve, E, Sig, r):
     x_I = r[ifree]                                        # (ndom, nI)
     x_G = r[gfree]
     z_G = x_G
@@ -128,9 +148,8 @@ def _lorasc_apply(n_free, A_II_L, A_IG, g2g, gmask, ifree, gfree, LG,
     xi = interior_solve(A_II_L, x_I)
     w = jnp.einsum("dig,di->dg", A_IG, xi) * gmask
     z_G = z_G - jnp.zeros_like(z_G).at[g2g.reshape(-1)].add(w.reshape(-1))
-    # Schur-level solve
-    y = jax.scipy.linalg.solve_triangular(LG, z_G, lower=True)
-    x_G = jax.scipy.linalg.solve_triangular(LG.T, y, lower=False)
+    # Schur-level solve (dense-Cholesky or banded block-tridiagonal)
+    x_G = gamma_solve(z_G)
     # low-rank corrections: x_Γ += Σ_k ((ε−σ)/σ)(e_kᵀ z)e_k
     if E.shape[1] > 0:
         x_G = x_G + E @ (Sig * (E.T @ z_G))
@@ -148,10 +167,26 @@ def prepare_lorasc_precond(S: SchurOperator, part: DDPartition,
                            eps_threshold: float = 0.01,
                            low_rank_correction: str = "exact",
                            ell: int | None = None, q: int = 2, key=None,
+                           gamma_solver: str = "dense",
                            verbose: bool = False) -> Partial:
-    """Build LORASC for the full free-dof system (reference :1502-1678)."""
-    A_GG = assemble_gamma_matrix(S)
+    """Build LORASC for the full free-dof system (reference :1502-1678).
+
+    gamma_solver="dense": on-device dense Cholesky of A_ΓΓ (n_Γ ≲ 1e4).
+    gamma_solver="banded": RCM + block-tridiagonal factorization
+    (precond/block_tridiag_chol.py) — A_ΓΓ is assembled SPARSE and never
+    densified, so wire-basket interfaces at n_Γ ≈ 1e5 work (the reference's
+    CHOLMOD slot, EllipticPdeDomainDecomposition.jl:1525)."""
+    dt = S.A_IG.dtype
+    if gamma_solver == "banded":
+        from .block_tridiag_chol import get_banded_cholesky
+        A_GG_sp = assemble_gamma_sparse(S)
+        gamma_solve = get_banded_cholesky(
+            A_GG_sp, dtype=jnp.float64 if dt == jnp.float64 else jnp.float32,
+            out_dtype=dt)
+        assert eps_threshold <= 0 or low_rank_correction == "exact", \
+            "banded gamma_solver pairs with exact corrections or eps=0"
     if eps_threshold > 0:
+        A_GG = assemble_gamma_matrix(S)
         if low_rank_correction == "exact":
             sig, E, LG = _gamma_correction_pairs_exact(S, A_GG, nvec)
         else:
@@ -169,15 +204,17 @@ def prepare_lorasc_precond(S: SchurOperator, part: DDPartition,
         if verbose:
             print(f"eps = {eps_threshold}, nev = {nev}")
     else:
-        LG = jnp.linalg.cholesky(A_GG)
         E = np.zeros((S.n_gamma, 0))
         Sig = np.zeros(0)
         nev = 0
+        if gamma_solver == "dense":
+            LG = jnp.linalg.cholesky(assemble_gamma_matrix(S))
+    if gamma_solver == "dense":
+        gamma_solve = Partial(_dense_gamma_solve, LG)
 
     ifree, gfree = free_dof_tables(part, maps)
-    dt = S.A_IG.dtype
     return Partial(static_bind(_lorasc_apply, maps.n_free), S.A_II_L, S.A_IG,
-                   S.gammad_to_gamma, S.gmask, ifree, gfree, LG,
+                   S.gammad_to_gamma, S.gmask, ifree, gfree, gamma_solve,
                    jnp.asarray(E, dt), jnp.asarray(Sig, dt))
 
 

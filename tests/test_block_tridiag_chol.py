@@ -1,0 +1,142 @@
+"""Block-tridiagonal Cholesky engine (the scalable CHOLMOD replacement):
+exactness on block-tridiagonal systems, full-system stencil factorization,
+and RCM-banded factorization of a real A_ΓΓ."""
+
+import numpy as np
+import scipy.sparse as sp
+import jax.numpy as jnp
+
+from krylov_spdes_tpu.fem.mesh import get_mesh
+from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+from krylov_spdes_tpu.fem.assembly import (
+    prepare_elliptic_assembly, do_isotropic_elliptic_assembly)
+from krylov_spdes_tpu.ops.stencil import build_stencil_op, to_full_vector
+from krylov_spdes_tpu.precond.block_tridiag_chol import (
+    btc_factor, _btc_solve, stencil_to_block_tridiag, get_stencil_cholesky,
+    get_banded_cholesky)
+from krylov_spdes_tpu.solvers.cg import cg, pcg
+
+
+def _random_block_tridiag(nb=7, m=5, seed=0):
+    rng = np.random.default_rng(seed)
+    D = rng.normal(size=(nb, m, m))
+    E = rng.normal(size=(nb, m, m)) * 0.3
+    E[-1] = 0.0
+    n = nb * m
+    A = np.zeros((n, n))
+    for i in range(nb):
+        A[i * m:(i + 1) * m, i * m:(i + 1) * m] = D[i] @ D[i].T + 3 * np.eye(m)
+        if i + 1 < nb:
+            A[i * m:(i + 1) * m, (i + 1) * m:(i + 2) * m] = E[i]
+            A[(i + 1) * m:(i + 2) * m, i * m:(i + 1) * m] = E[i].T
+    Dsym = np.stack([A[i * m:(i + 1) * m, i * m:(i + 1) * m]
+                     for i in range(nb)])
+    return A, Dsym, E
+
+
+def test_btc_solve_exact():
+    A, D, E = _random_block_tridiag()
+    nb, m = D.shape[:2]
+    L, G = btc_factor(jnp.asarray(D), jnp.asarray(E))
+    rng = np.random.default_rng(1)
+    b = rng.normal(size=nb * m)
+    x = np.asarray(_btc_solve("float64", L, G, jnp.asarray(b).reshape(nb, m))
+                   ).reshape(-1)
+    np.testing.assert_allclose(x, np.linalg.solve(A, b), rtol=1e-10,
+                               atol=1e-12)
+
+
+def test_stencil_block_tridiag_matches_operator():
+    mesh = get_mesh(400, jitter=0.2, seed=3)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    asm = prepare_elliptic_assembly(
+        mesh.cells, mesh.points, maps,
+        lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+    rng = np.random.default_rng(3)
+    A, b = do_isotropic_elliptic_assembly(
+        asm, np.exp(0.5 * rng.normal(size=mesh.nnode)))
+    m1 = int(round(np.sqrt(mesh.nnode)))
+    St = build_stencil_op(A, maps, (m1, m1))
+    D, E = stencil_to_block_tridiag(St)
+    n = St.n
+    Afull = np.zeros((n, n))
+    for i in range(St.H):
+        s = i * St.W
+        Afull[s:s + St.W, s:s + St.W] = np.asarray(D[i])
+        if i + 1 < St.H:
+            Afull[s:s + St.W, s + St.W:s + 2 * St.W] = np.asarray(E[i])
+            Afull[s + St.W:s + 2 * St.W, s:s + St.W] = np.asarray(E[i]).T
+    x = np.random.default_rng(4).normal(size=n)
+    np.testing.assert_allclose(Afull @ x, np.asarray(St(jnp.asarray(x))),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_stencil_cholesky_preconditioner_is_direct():
+    """f64 factorization => PCG converges in ~1 iteration; f32 in a few."""
+    mesh = get_mesh(2500, jitter=0.1, seed=5)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    asm = prepare_elliptic_assembly(
+        mesh.cells, mesh.points, maps,
+        lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+    rng = np.random.default_rng(5)
+    A, b = do_isotropic_elliptic_assembly(
+        asm, np.exp(0.5 * rng.normal(size=mesh.nnode)))
+    m1 = int(round(np.sqrt(mesh.nnode)))
+    St = build_stencil_op(A, maps, (m1, m1))
+    bf = to_full_vector(maps, jnp.asarray(b), mesh.nnode)
+    for dtype, max_its in ((jnp.float64, 3), (jnp.float32, 8)):
+        M = get_stencil_cholesky(St, dtype=dtype)
+        r = pcg(St, bf, M=M)
+        assert int(r.it) <= max_its, (str(dtype), int(r.it))
+        assert float(r.history()[-1]) <= 1e-7 * float(jnp.linalg.norm(bf))
+    # bf16 storage still converges fast (Cholesky16 analogue)
+    M16 = get_stencil_cholesky(St, dtype=jnp.float32,
+                               store_dtype=jnp.bfloat16)
+    r16 = pcg(St, bf, M=M16)
+    assert int(r16.it) <= 40, int(r16.it)
+    assert float(r16.history()[-1]) <= 1e-7 * float(jnp.linalg.norm(bf))
+
+
+def test_banded_cholesky_on_gamma_matrix():
+    """RCM-banded factorization of a real interface (Schur-level) matrix."""
+    from krylov_spdes_tpu.fem.dd import assemble_dd_values
+    from krylov_spdes_tpu.fem.schur import prepare_schur_operator
+    from krylov_spdes_tpu.precond.dd_preconds import assemble_gamma_matrix
+    from test_dd import build
+    mesh, maps, epart, part, plan, asm, coeff = build(nnode=900, ndom=8,
+                                                      seed=6)
+    A_II, A_IG, A_GGd, b_I, b_G = assemble_dd_values(plan, jnp.asarray(coeff))
+    S = prepare_schur_operator(plan, part, A_II, A_IG, A_GGd)
+    A_GG = np.asarray(assemble_gamma_matrix(S))
+    A_sp = sp.csr_matrix(A_GG)
+    M = get_banded_cholesky(A_sp, dtype=jnp.float64)
+    rng2 = np.random.default_rng(7)
+    r = rng2.normal(size=A_GG.shape[0])
+    x = np.asarray(M(jnp.asarray(r)))
+    np.testing.assert_allclose(x, np.linalg.solve(A_GG, r), rtol=1e-8,
+                               atol=1e-10)
+
+
+def test_lorasc_banded_gamma_matches_dense():
+    """LORASC with the banded Γ factorization == dense-Cholesky LORASC."""
+    from krylov_spdes_tpu.fem.assembly import do_isotropic_elliptic_assembly
+    from krylov_spdes_tpu.fem.dd import assemble_dd_values
+    from krylov_spdes_tpu.fem.schur import prepare_schur_operator
+    from krylov_spdes_tpu.precond.dd_preconds import prepare_lorasc_precond
+    from test_dd import build
+    mesh, maps, epart, part, plan, asm, coeff = build(nnode=900, ndom=8,
+                                                      seed=8)
+    A, b = do_isotropic_elliptic_assembly(asm, coeff)
+    A_II, A_IG, A_GGd, b_I, b_G = assemble_dd_values(plan, jnp.asarray(coeff))
+    S = prepare_schur_operator(plan, part, A_II, A_IG, A_GGd)
+    kw = dict(nvec=8, eps_threshold=0.01, low_rank_correction="exact")
+    Md = prepare_lorasc_precond(S, part, maps, gamma_solver="dense", **kw)
+    Mb = prepare_lorasc_precond(S, part, maps, gamma_solver="banded", **kw)
+    rng = np.random.default_rng(9)
+    r = jnp.asarray(rng.normal(size=int(maps.n_free)))
+    np.testing.assert_allclose(np.asarray(Mb(r)), np.asarray(Md(r)),
+                               rtol=1e-9, atol=1e-11)
+    rd = pcg(A, jnp.asarray(b), M=Md)
+    rb = pcg(A, jnp.asarray(b), M=Mb)
+    assert abs(int(rd.it) - int(rb.it)) <= 1
+    assert float(rb.history()[-1]) <= 1e-7 * float(np.linalg.norm(b))
