@@ -1,0 +1,84 @@
+"""Iteratively-refined PCG: f32 Krylov iterations, df32-certified residual.
+
+Closes the round-1 tolerance gap (VERDICT item 10): the reference hard-codes
+‖r‖ ≤ 1e-7‖b‖ in f64 (RecyclingKrylovSolvers.jl:21, cg.jl:33-35), but a plain
+f32 CG on chip floors at ~1e-5 relative residual. Classic iterative
+refinement fixes this without any f64 hardware:
+
+    x ← 0 (df32 pair)
+    repeat: r = b − A x  evaluated in df32 (ops/df32.py, ~1e-14 accurate)
+            stop when ‖r_hi‖ ≤ rtol·‖b‖     ← certified TRUE residual
+            d = PCG(A, r_hi) at inner_rtol, all-f32 (the hot path)
+            x ← x + d  (df32 accumulation)
+
+Per step the error contracts by ~max(inner_rtol, eps_f32·κ(M⁻¹A)); FEM
+stiffness systems at the study sizes converge in 2-4 refinements. The whole
+loop is ONE jitted lax.while_loop — no host round-trips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.df32 import df_add, stencil_residual_df32
+from ..ops.stencil import StencilOp
+from .base import SolveResult, as_precond_op
+from .cg import _pcg_impl
+
+
+@partial(jax.jit, static_argnames=("H", "W", "inner_maxit", "max_refine"))
+def _refined_impl(planes, dir_diag, M, b, H, W, rtol, inner_rtol,
+                  inner_maxit, max_refine):
+    dt = b.dtype
+    from ..ops.stencil import stencil_matvec
+    St = StencilOp(planes=planes, dir_diag=dir_diag,
+                   slot=jnp.zeros((1,), jnp.int32), H=H, W=W)
+    from jax.tree_util import Partial
+    Aop = Partial(stencil_matvec, St)
+
+    bnorm = jnp.linalg.norm(b)
+    tol = rtol * bnorm
+    zero = jnp.zeros_like(b)
+
+    def residual(xh, xl):
+        return stencil_residual_df32(planes, dir_diag, H, W, b, zero, xh, xl)
+
+    def cond(c):
+        return (c["res"] > tol) & (c["k"] < max_refine)
+
+    def body(c):
+        d, it, _ = _pcg_impl(Aop, M, c["rh"], zero, inner_maxit, inner_rtol)
+        xh, xl = df_add(c["xh"], c["xl"], d, jnp.zeros_like(d))
+        rh, rl = residual(xh, xl)
+        return dict(xh=xh, xl=xl, rh=rh, rl=rl,
+                    res=jnp.linalg.norm(rh), k=c["k"] + 1,
+                    its=c["its"] + it)
+
+    rh0, rl0 = residual(zero, zero)
+    c0 = dict(xh=zero, xl=zero, rh=rh0, rl=rl0,
+              res=jnp.linalg.norm(rh0), k=jnp.int32(0), its=jnp.int32(0))
+    c = jax.lax.while_loop(cond, body, c0)
+    return c["xh"], c["xl"], c["res"], c["k"], c["its"]
+
+
+def refined_pcg(St: StencilOp, b, M=None, rtol: float = 1e-7,
+                inner_rtol: float = 1e-5, inner_maxit: int = 4000,
+                max_refine: int = 8):
+    """PCG to the REFERENCE tolerance on f32 hardware.
+
+    Returns a SolveResult whose `it` is the total inner-CG iteration count
+    and whose res_norm holds the certified (df32-evaluated) residual; the
+    `refines` attribute counts refinement sweeps."""
+    b = jnp.asarray(b)
+    xh, xl, res, k, its = _refined_impl(
+        St.planes, St.dir_diag, as_precond_op(M), b, St.H, St.W,
+        jnp.asarray(rtol, b.dtype), jnp.asarray(inner_rtol, b.dtype),
+        inner_maxit, max_refine)
+    r = SolveResult(x=xh + xl, it=its,
+                    res_norm=jnp.stack([res]), W=None)
+    r.refines = int(k)
+    r.x_df32 = (xh, xl)
+    return r
