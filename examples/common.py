@@ -39,6 +39,9 @@ def init_backend(args):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
+    else:
+        from krylov_spdes_tpu.config import enable_compilation_cache
+        enable_compilation_cache()
     return jax
 
 

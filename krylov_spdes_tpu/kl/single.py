@@ -28,6 +28,32 @@ from ..ops.sparse import SparseOp, ell_spmv
 from .covariance import cov_matrix
 
 
+def make_chunked_cov_apply(cov, points, dtype, chunk: int = 2048):
+    """Matrix-free Y ↦ Ĉ Y (Ĉ[i,j] = cov(x_i, x_j)) in row chunks — the
+    n×n kernel is never materialized, so the single-domain KL scales past the
+    dense path's ~20k-node memory wall (O(chunk·n) live memory, pure MXU
+    matmuls). Each scan step forms one (chunk, n) covariance tile and
+    contracts it with Y."""
+    pts = jnp.asarray(points, dtype)
+    n = pts.shape[0]
+    nchunk = -(-n // chunk)
+    pts_pad = jnp.pad(pts, ((0, nchunk * chunk - n), (0, 0)))
+
+    def apply(Y):
+        Y2 = Y if Y.ndim == 2 else Y[:, None]
+
+        def step(_, i):
+            rows = jax.lax.dynamic_slice(pts_pad, (i * chunk, 0), (chunk, 2))
+            tile = cov(rows[:, None, :], pts[None, :, :])     # (chunk, n)
+            return 0, tile @ Y2
+
+        _, out = jax.lax.scan(step, 0, jnp.arange(nchunk))
+        out = out.reshape(nchunk * chunk, Y2.shape[1])[:n]
+        return out if Y.ndim == 2 else out[:, 0]
+
+    return apply
+
+
 def mass_covariance_operator(M: SparseOp, points, cov) -> jnp.ndarray:
     """Dense C = M Ĉ M with Ĉ[i,j] = cov(x_i, x_j).
 
@@ -65,31 +91,36 @@ def solve_kl(cells, points, cov, nev: int, M: SparseOp,
     Returns (Λ: (nvec,), Ψ: (nnode, nvec)) as numpy, M-normalized,
     nvec <= nev chosen by the reference's truncation rule.
 
-    method: "dense" (Cholesky+eigh, O(n³)), "lobpcg" (O(n²·nev)/iter —
-    the ARPACK-like iterative path), or "auto" (lobpcg when nev ≪ n).
+    method: "dense" (Cholesky+eigh, O(n³)), "lobpcg" (O(n²·nev)/iter on the
+    dense operator), "chunked" (LOBPCG with a matrix-free row-chunked Ĉ
+    apply — O(chunk·n) memory, any n), or "auto" (chunked above ~20k nodes,
+    else lobpcg when nev ≪ n, else dense).
     """
     n = M.n_rows
-    if n > 40_000:
-        raise ValueError(
-            f"solve_kl forms the dense n x n covariance operator "
-            f"({n}^2 entries = {n * n * 8 / 1e9:.0f} GB in f64) — like the "
-            f"reference's single-domain KL (O(nnode^2) memory, "
-            f"KarhunenLoeve.jl:33-34) it is meant for study sizes. Use the "
-            f"two-level kl.dd.compute_dd_kl for large meshes.")
-    C = mass_covariance_operator(M, points, cov)
     if method == "auto":
-        method = "lobpcg" if (n > 1500 and nev < n // 8) else "dense"
-    if method == "lobpcg":
+        if n > 20_000:
+            method = "chunked"
+        else:
+            method = "lobpcg" if (n > 1500 and nev < n // 8) else "dense"
+    if method in ("lobpcg", "chunked"):
         from jax.tree_util import Partial
         from .lobpcg import lobpcg_generalized
         from ..ops.sparse import ell_spmv as _spmv
-        Cfn = Partial(jnp.matmul, C)
         Mfn = Partial(_spmv, M)
+        if method == "chunked":
+            chat = make_chunked_cov_apply(cov, points, M.data.dtype)
+            Cfn = Partial(lambda f, m, X: m(f(m(X))), Partial(chat), Mfn)
+            dtype = M.data.dtype
+        else:
+            C = mass_covariance_operator(M, points, cov)
+            Cfn = Partial(jnp.matmul, C)
+            dtype = C.dtype
         w, psi = lobpcg_generalized(Cfn, Mfn, n, nev, iters=lobpcg_iters,
-                                    dtype=C.dtype)
+                                    dtype=dtype)
         w = np.asarray(w)
         psi = np.asarray(psi)
     else:
+        C = mass_covariance_operator(M, points, cov)
         Md = M.todense()
         w, psi = _generalized_eigh(C, Md)
         w = np.asarray(w)[:nev]

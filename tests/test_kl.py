@@ -110,6 +110,24 @@ def test_lobpcg_matches_dense():
     assert s.min() > 1 - 1e-6, s
 
 
+def test_chunked_matches_lobpcg():
+    """Matrix-free row-chunked covariance apply (the >20k-node path that
+    never materializes the n x n kernel) matches the dense-operator LOBPCG
+    bit-for-bit up to reduction order."""
+    mesh = get_mesh(1800, seed=5)
+    cov = make_cov("sexp", sig2=1.0, L=0.3)
+    M = get_mass_matrix(mesh.cells, mesh.points)
+    lam_l, psi_l = solve_kl(mesh.cells, mesh.points, cov, 25, M,
+                            relative=0.999, method="lobpcg")
+    lam_c, psi_c = solve_kl(mesh.cells, mesh.points, cov, 25, M,
+                            relative=0.999, method="chunked")
+    k = min(len(lam_l), len(lam_c))
+    np.testing.assert_allclose(lam_c[:k], lam_l[:k], rtol=1e-10)
+    Md = np.asarray(M.todense())
+    s = np.linalg.svd(psi_l[:, :k].T @ Md @ psi_c[:, :k], compute_uv=False)
+    assert s.min() > 1 - 1e-8, s
+
+
 def test_identity_vs_reference_two_pass_quadrature():
     """Independent validation of the C = M Ĉ M identity: literal transcription
     of the reference's two-pass node×element quadrature
