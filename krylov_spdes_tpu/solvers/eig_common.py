@@ -27,6 +27,17 @@ def _sym(T):
     return (T + T.T) / 2
 
 
+def _spd_ridge(T):
+    """eps-scaled diagonal ridge before a small Cholesky: in f32 the
+    projected metrics (PᵀAP diagonals etc.) are SPD only up to rounding and
+    a marginal pivot NaN-poisons the whole recycled basis. The ridge is
+    ~10·eps relative to the largest diagonal entry — invisible in f64
+    (oracle parity untouched), a rescue in f32."""
+    d = jnp.abs(jnp.diagonal(T)).max()
+    s = T.shape[0]
+    return T + (10 * jnp.finfo(T.dtype).eps * d) * jnp.eye(s, dtype=T.dtype)
+
+
 def masked_least_eigvecs(Tm, k: int, active):
     """Least-dominant k eigenvectors of the active block of Tm.
 
@@ -98,7 +109,7 @@ def _masked_gen_eigvecs(S, T, k: int, active):
     T0 = _sym(T) * actf[:, None] * actf[None, :] + jnp.diag(1.0 - actf)
     big = 2.0 + jnp.sum(jnp.abs(S0))
     S0 = S0 + big * jnp.diag(1.0 - actf)
-    L = jnp.linalg.cholesky(T0)
+    L = jnp.linalg.cholesky(_spd_ridge(T0))
     Y = jax.scipy.linalg.solve_triangular(L, S0, lower=True)
     B = jax.scipy.linalg.solve_triangular(L, Y.T, lower=True)
     _, U = jnp.linalg.eigh(_sym(B))
@@ -146,7 +157,7 @@ def thick_restart_basis_gen(S, T, nvec: int, active_dim):
     # Q rows are supported on active coords, so QᵀT0Q is exactly VᵀTV on the
     # live columns; masked columns get identity to keep the pencil SPD.
     Gm = _sym(Q.T @ T0 @ Q) + jnp.diag(1.0 - colmask)
-    L = jnp.linalg.cholesky(Gm)
+    L = jnp.linalg.cholesky(_spd_ridge(Gm))
     B = jax.scipy.linalg.solve_triangular(L, Hm, lower=True)
     B = jax.scipy.linalg.solve_triangular(L, B.T, lower=True)
     vals, Zo = jnp.linalg.eigh(_sym(B))

@@ -81,11 +81,28 @@ def _recycler_impl(A, M, b, x0, W, proj, schedule, deflated, nvec, spdim,
     res_norm = jnp.zeros((maxit,), dtype).at[0].set(res0)
     tol = rtol * jnp.linalg.norm(b)
 
+    def unitize(rows):
+        """Row-normalize an HR basis block (span-preserving; zero rows kept).
+
+        The reference stores RAW search directions in the HR window
+        (hrdefpcg.jl:167) and raw projected bases — fine in f64, but in f32
+        the p-magnitudes span ~1e±10 and one LO-TR restart can return a
+        ~1e-7-norm basis whose WᵀAW underflows, poisoning the next solve in
+        the chain (observed on chip: 'it=1' NaN exits). For HR both pencil
+        metrics (VᵀAM⁻¹AV, blockdiag VᵀAV) are quadratic in V, so row
+        scaling is exactly span-invariant; RR's identity metric is NOT
+        scale-invariant (T = I, rrdefpcg.jl:126-148) and is left untouched —
+        its z/√(rᵀz) window vectors are O(1) already."""
+        if proj != "hr":
+            return rows
+        nrm = jnp.linalg.norm(rows, axis=1, keepdims=True)
+        return rows / jnp.where(nrm > 0, nrm, 1.0)
+
     V = jnp.zeros((spdim, n), dtype)
     nev0 = nvec if deflated else 0
     if deflated:
         V = V.at[:nvec].set(W.T)
-    w0 = z / jnp.sqrt(rTz) if proj == "rr" else p
+    w0 = z / jnp.sqrt(rTz) if proj == "rr" else p / jnp.linalg.norm(p)
     V = V.at[nev0].set(w0)
 
     def do_projection(V, active_dim, nev):
@@ -99,11 +116,18 @@ def _recycler_impl(A, M, b, x0, W, proj, schedule, deflated, nvec, spdim,
             S, T = _sym(AV @ MAV.T), _blockdiag_mask(_sym(G), nev)
         if schedule == "lotr":
             _, QZ, nev_new = thick_restart_basis_gen(S, T, nvec, active_dim)
-            V = V.at[:2 * nvec].set(QZ.T @ V)
-            return V, nev_new
-        coefs = ritz_basis_gen(S, T, nvec, active_dim)   # (spdim, nvec)
-        V = V.at[:nvec].set(coefs.T @ V)
-        return V, jnp.int32(nvec)
+            Vp = V.at[:2 * nvec].set(unitize(QZ.T @ V))
+            keep = 2 * nvec
+        else:
+            coefs = ritz_basis_gen(S, T, nvec, active_dim)  # (spdim, nvec)
+            Vp = V.at[:nvec].set(unitize(coefs.T @ V))
+            keep, nev_new = nvec, jnp.int32(nvec)
+        # f32 guard: a degenerate small problem (rank collapse on chip)
+        # yields non-finite rows — keep the previous basis, flush the window
+        # (the reference's policy for degenerate chains is discard-and-redo,
+        # Example09..._Functions.jl:358-360; here recycling just skips a beat)
+        ok = jnp.all(jnp.isfinite(Vp[:keep]))
+        return (jnp.where(ok, Vp, V), jnp.where(ok, nev_new, nev))
 
     carry = dict(x=x, r=r, p=p, rTz=rTz, it=jnp.int32(1), res=res_norm,
                  V=V, nev=jnp.int32(nev0), wcount=jnp.int32(1))
@@ -127,7 +151,8 @@ def _recycler_impl(A, M, b, x0, W, proj, schedule, deflated, nvec, spdim,
         res = c["res"].at[it].set(jnp.sqrt(rTr))
         it = it + 1
 
-        wvec = z / jnp.sqrt(rTz_new) if proj == "rr" else p
+        wvec = (z / jnp.sqrt(rTz_new) if proj == "rr"
+                else p / jnp.linalg.norm(p))
         if schedule == "post":
             # fill while room remains; never restart in-loop
             row = nev + wcount
