@@ -1,0 +1,415 @@
+"""Whole-stretch-in-VMEM eigDef-PCG: the recycling flagship at kernel speed.
+
+`solvers/defcg._eigdef_impl` (the eigDef-PCG of defcg.jl:313-473, fused
+diagonal-preconditioner path) spends its per-iteration time reading the
+projection operands G = [Wᵀ; WᵀA·m] and W from HBM (~3·nvec·n·4 B) plus
+2-3 kernel launches — measured ~60 µs/iteration at 65k DoF / nvec=16 on the
+chip. This module keeps EVERYTHING the iteration touches resident in VMEM
+and runs whole restart-free stretches (spdim−1−ivec iterations, ~30-60) in
+ONE pallas_call. Only the thick-restart iterations — which need an eigh of
+the (spdim, spdim) projected matrix, impossible inside a kernel — run in
+XLA, once per stretch.
+
+The in-kernel deflation algebra is reduced to pure tile arithmetic by
+precomputing combined operands (all (nvec|2nvec, R·C), VMEM-resident):
+
+    U      = G r                       (2nvec reductions)
+    r_fix  = Σ_k U_k · A1_k            A1 = (WᵀW)⁻¹ᵀ Wᵀ rows      [reorth]
+    p_fix  = Σ_k U_k · B_k             B  = [−M₁KᵀM₂ Wᵀ; M₂ Wᵀ]   [deflation]
+
+which is algebraically identical to the reference's
+r ← r − W(WᵀW)⁻¹Wᵀr (defcg.jl:407) and p ← βp + z − W(WᵀAW)⁻¹WᵀAz
+(defcg.jl:425-426) with z = m ⊙ r, using the same linearity identity as the
+fused XLA path (WᵀA z = (WᵀA·m)r − [(WᵀA·m)W]cw). The only numerical
+difference is explicit (nvec, nvec) inverses instead of Cholesky solves —
+identical to rounding at nvec ≤ 32 (parity-tested in interpret mode).
+
+V columns (z/√(rᵀz), defcg.jl:418-423) are appended straight from VMEM to
+the HBM V buffer with one manual DMA per iteration; per-iteration alphas,
+betas and residuals stream to SMEM so the XLA side reconstructs the
+tridiagonal VtAV exactly as _eigdef_impl's advance branch does.
+
+VMEM budget (f32): (5·nvec + K + 8)·R·C·4 B — nvec=16 at 65k DoF ≈ 40 MB,
+nvec=30 at 65k ≈ 68 MB (fits the ~128 MB v5e VMEM). V (spdim, R·C) stays
+in HBM and is never fully read by the kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.scipy.linalg import cho_factor, cho_solve
+
+from ..solvers.eig_common import thick_restart_basis
+from .fused_cg import (PaddedStencil, _apply_full, _jacobi_minv,
+                       _unblock_planes, pad_vec, unpad_vec)
+
+
+def _apply_xla(P, x, R, K):
+    """XLA-side twin of fused_cg._apply_full (pltpu.roll is kernel-only;
+    jnp.roll is numerically identical on the padded layout — zero planes
+    annihilate every wrapped value)."""
+    pk = lambda k: P[k * R:(k + 1) * R]
+    shl = lambda a: jnp.roll(a, -1, 1)
+    shr = lambda a: jnp.roll(a, 1, 1)
+    xN = jnp.roll(x, -1, 0)
+    if K == 9:
+        xS = jnp.roll(x, 1, 0)
+        return (pk(0) * x
+                + pk(1) * shl(x) + pk(2) * shr(x)
+                + pk(3) * xN + pk(4) * xS
+                + pk(5) * shl(xN) + pk(6) * shr(xS)
+                + pk(7) * shr(xN) + pk(8) * shl(xS))
+    D, E, N, NE, SE = pk(0), pk(1), pk(2), pk(3), pk(4)
+    return (D * x
+            + E * shl(x) + shr(E * x)
+            + N * xN + jnp.roll(N * x, 1, 0)
+            + NE * shl(xN) + jnp.roll(shr(NE * x), 1, 0)
+            + SE * shr(xN) + jnp.roll(shl(SE * x), 1, 0))
+
+
+def _stretch_kernel(nvec, spdim, R, C, K,
+                    scal_ref, iscal_ref,
+                    planes_ref, minv_ref, G_ref, A1_ref, B_ref,
+                    xin_ref, rin_ref, pin_ref, Vin_ref,
+                    xo_ref, ro_ref, po_ref, V_ref,
+                    alphas_ref, betas_ref, res2_ref, cnt_ref, rTz_ref,
+                    vcol_scr, U_scr, sem):
+    """Run up to `nsteps` advance iterations fully in VMEM.
+
+    scal_ref (SMEM, (3,1) f32): [tol², rᵀz, ‖r‖²_prev]
+    iscal_ref (SMEM, (2,1) i32): [nsteps, ivec0]
+    V_ref (HBM, (spdim·R, C), aliased with Vin_ref): columns ivec0+1... get
+    the new Lanczos vectors; nothing else is touched.
+    """
+    del Vin_ref  # aliased with V_ref; kernel only appends via V_ref
+    tol2 = scal_ref[0, 0]
+    rTz0 = scal_ref[1, 0]
+    res2p = scal_ref[2, 0]
+    nsteps = iscal_ref[0, 0]
+    ivec0 = iscal_ref[1, 0]
+
+    xo_ref[...] = xin_ref[...]
+    ro_ref[...] = rin_ref[...]
+    po_ref[...] = pin_ref[...]
+    for j in range(spdim):
+        alphas_ref[j, 0] = 1.0
+        betas_ref[j, 0] = 0.0
+        res2_ref[j, 0] = 0.0
+    minv = minv_ref[...]
+
+    def cond(c):
+        i, rTz, res2 = c
+        return jnp.logical_and(i < nsteps, res2 > tol2)
+
+    def body(c):
+        i, rTz, res2 = c
+        p = po_ref[...]
+        ap = _apply_full(planes_ref, p, R, K)
+        alpha = rTz / jnp.sum(p * ap)
+        xo_ref[...] = xo_ref[...] + alpha * p
+        r = ro_ref[...] - alpha * ap
+        # one VMEM pass over G: reorth + deflation coefficients (scalars).
+        # fori_loops (not unrolled Python loops) keep ONE tile live at a
+        # time — the unrolled form blew the 16 MB scoped-VMEM stack.
+        def u_step(k, _):
+            U_scr[k, 0] = jnp.sum(G_ref[pl.ds(k * R, R), :] * r)
+            return 0
+
+        jax.lax.fori_loop(0, 2 * nvec, u_step, 0)
+
+        def accr_step(k, acc):
+            return acc + U_scr[k, 0] * A1_ref[pl.ds(k * R, R), :]
+
+        acc_r = jax.lax.fori_loop(0, nvec, accr_step, jnp.zeros_like(r))
+
+        def accp_step(k, acc):
+            return acc + U_scr[k, 0] * B_ref[pl.ds(k * R, R), :]
+
+        acc_p = jax.lax.fori_loop(0, 2 * nvec, accp_step, jnp.zeros_like(r))
+        r = r - acc_r                       # defcg.jl:407 reorth
+        ro_ref[...] = r
+        rTr = jnp.sum(r * r)
+        z = minv * r
+        rTz_new = jnp.sum(r * z)
+        beta = rTz_new / rTz
+        po_ref[...] = beta * p + z - acc_p  # deflated direction
+        # append V column ivec0+i+1 = z/sqrt(rTz) (defcg.jl:418-423)
+        vcol_scr[...] = z / jnp.sqrt(rTz_new)
+        cp = pltpu.make_async_copy(
+            vcol_scr, V_ref.at[pl.ds((ivec0 + i + 1) * R, R)], sem)
+        cp.start()
+        cp.wait()
+        alphas_ref[i, 0] = alpha
+        betas_ref[i, 0] = beta
+        res2_ref[i, 0] = rTr
+        return (i + 1, rTz_new, rTr)
+
+    i, rTz, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), rTz0, res2p))
+    cnt_ref[0, 0] = i
+    rTz_ref[0, 0] = rTz
+
+
+@partial(jax.jit, static_argnames=("nvec", "spdim", "R", "C", "K",
+                                   "interpret"))
+def _stretch_call(nvec, spdim, R, C, K, planes, minv, G, A1, B,
+                  x, r, p, V, tol2, rTz, res2_prev, nsteps, ivec0,
+                  interpret=False):
+    dtype = x.dtype
+    scal = jnp.stack([tol2, rTz, res2_prev]).reshape(3, 1).astype(dtype)
+    iscal = jnp.stack([nsteps, ivec0]).reshape(2, 1).astype(jnp.int32)
+    kernel = partial(_stretch_kernel, nvec, spdim, R, C, K)
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # scal
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # iscal
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # planes (K·R, C)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # minv (R, C)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # G (2nvec·R, C)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # A1 (nvec·R, C)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # B (2nvec·R, C)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # x
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # r
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # p
+            pl.BlockSpec(memory_space=pltpu.HBM),     # V (aliased)
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # x
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # r
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # p
+            pl.BlockSpec(memory_space=pltpu.HBM),     # V
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # alphas
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # betas
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # res2
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # cnt
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # rTz
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, C), dtype),
+            jax.ShapeDtypeStruct((R, C), dtype),
+            jax.ShapeDtypeStruct((R, C), dtype),
+            jax.ShapeDtypeStruct((spdim * R, C), dtype),
+            jax.ShapeDtypeStruct((spdim, 1), dtype),
+            jax.ShapeDtypeStruct((spdim, 1), dtype),
+            jax.ShapeDtypeStruct((spdim, 1), dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ),
+        input_output_aliases={10: 3},                 # V in -> V out
+        scratch_shapes=[
+            pltpu.VMEM((R, C), dtype),                # vcol
+            pltpu.SMEM((2 * nvec, 1), dtype),         # U coefficients
+            pltpu.SemaphoreType.DMA,
+        ],
+        # the default 16 MB scoped-VMEM stack can't hold the staging for the
+        # aliased HBM V output; the named operands already budget ~60 MB
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(scal, iscal, planes, minv, G, A1, B, x, r, p, V)
+    x, r, p, V, alphas, betas, res2, cnt, rTz = out
+    return (x, r, p, V, alphas[:, 0], betas[:, 0], res2[:, 0],
+            cnt[0, 0], rTz[0, 0])
+
+
+def _xla_restart_iteration(planes, minv, G, A1, B, WtA, R, C, K, nvec, spdim,
+                           st):
+    """One full eigDef-PCG iteration at ivec == spdim−1: vector updates with
+    the SAME combined-operand algebra as the kernel, then the thick restart
+    (defcg.jl:428-436 / eigcg.jl:83-101) which needs an eigh and therefore
+    lives in XLA."""
+    x, r, p, rTz, it, ivec, V, VtAV, first, res_norm = (
+        st["x"], st["r"], st["p"], st["rTz"], st["it"], st["ivec"],
+        st["V"], st["VtAV"], st["first"], st["res_norm"])
+    ap = _apply_xla(planes, p, R, K)
+    alpha = rTz / jnp.sum(p * ap)
+    x = x + alpha * p
+    r = r - alpha * ap
+    rf = r.reshape(-1)
+    U = G @ rf                                    # (2nvec,)
+    r = r - (U[:nvec] @ A1).reshape(R, C)
+    rTr = jnp.sum(r * r)
+    z = minv * r
+    rTz_new = jnp.sum(r * z)
+    beta = rTz_new / rTz
+    p = beta * p + z - (U @ B).reshape(R, C)
+    res_new = jnp.sqrt(rTr)
+    res_norm = res_norm.at[it].set(res_new)
+    vcol = (z / jnp.sqrt(rTz_new)).reshape(-1)
+
+    VtAV = VtAV.at[ivec, ivec].add(1.0 / alpha)
+    V2 = V.reshape(spdim, R * C)
+
+    def first_fix(VtAV):
+        block = WtA @ V2[nvec:spdim].T            # (nvec, spdim-nvec)
+        return VtAV.at[:nvec, nvec:].set(block)
+
+    VtAV = jax.lax.cond(first, first_fix, lambda a: a, VtAV)
+    vals, QZ, nev = thick_restart_basis(VtAV, nvec, jnp.int32(spdim))
+    Vc = QZ.T @ V2                                # (2nvec, R·C)
+    V2 = V2.at[:2 * nvec].set(Vc)
+    V2 = V2.at[nev].set(vcol)
+    d = jnp.arange(2 * nvec)
+    VtAV = jnp.zeros_like(VtAV).at[d, d].set(vals)
+    VtAV = VtAV.at[nev, nev].set(beta / alpha)
+    return dict(x=x, r=r, p=p, rTz=rTz_new, it=it + 1, ivec=nev,
+                V=V2.reshape(spdim * R, C), VtAV=VtAV,
+                first=jnp.bool_(False), jr=jnp.bool_(True),
+                res_norm=res_norm)
+
+
+@partial(jax.jit, static_argnames=("nvec", "spdim", "maxit", "interpret"))
+def _vmem_eigdef_impl(ps: PaddedStencil, planes, minv, bp, Wp, nvec, spdim,
+                      maxit, rtol, interpret=False):
+    """Segmented eigDef-PCG: VMEM kernel stretches + XLA restarts.
+
+    Wp: (nvec·R, C) padded deflation basis. Same iteration/restart semantics
+    as solvers.defcg._eigdef_impl (fused path) — parity-tested."""
+    R, C, K = ps.R, ps.C, ps.K
+    dtype = bp.dtype
+    RC = R * C
+
+    # ---- setup (XLA, once per solve) -------------------------------------
+    W3 = Wp.reshape(nvec, R, C)
+    Wf = Wp.reshape(nvec, RC)
+    WtA = jax.vmap(lambda w: _apply_xla(planes, w, R, K).reshape(-1))(W3)
+    WtAW = WtA @ Wf.T
+    WtW = Wf @ Wf.T
+    cho = cho_factor(WtAW)
+    cho_w = cho_factor(WtW)
+    minv_f = minv.reshape(-1)
+    WtAM = WtA * minv_f[None, :]
+    Km = WtAM @ Wf.T
+    eye = jnp.eye(nvec, dtype=dtype)
+    M1 = cho_solve(cho_w, eye)                    # (WᵀW)⁻¹
+    M2 = cho_solve(cho, eye)                      # (WᵀAW)⁻¹
+    G = jnp.concatenate([Wf, WtAM], axis=0)       # (2nvec, RC)
+    A1 = M1 @ Wf                                  # rows: reorth operand
+    B = jnp.concatenate([-(M1 @ Km.T @ M2) @ Wf, M2 @ Wf], axis=0)
+
+    # deflated initial guess + first direction (defcg.jl:361-377)
+    bf = bp.reshape(-1)
+    x = (Wf.T @ cho_solve(cho, Wf @ bf)).reshape(R, C)
+    r = bp - _apply_xla(planes, x, R, K)
+    rTr0 = jnp.sum(r * r)
+    z = minv * r
+    rTz = jnp.sum(r * z)
+    mu = cho_solve(cho, WtA @ z.reshape(-1))
+    p = z - (mu @ Wf).reshape(R, C)
+    res0 = jnp.sqrt(rTr0)
+    res_norm = jnp.zeros((maxit,), dtype).at[0].set(res0)
+    tol = rtol.astype(dtype) * jnp.sqrt(jnp.sum(bp * bp))
+    tol2 = tol * tol
+
+    V = jnp.zeros((spdim, RC), dtype)
+    V = V.at[:nvec].set(Wf)
+    V = V.at[nvec].set(z.reshape(-1) / jnp.sqrt(rTz))
+    V = V.reshape(spdim * R, C)
+    VtAV = jnp.zeros((spdim, spdim), dtype).at[:nvec, :nvec].set(WtAW)
+
+    st = dict(x=x, r=r, p=p, rTz=rTz, it=jnp.int32(1), ivec=jnp.int32(nvec),
+              V=V, VtAV=VtAV, first=jnp.bool_(True), jr=jnp.bool_(False),
+              res_norm=res_norm)
+
+    def res_prev2(st):
+        rp = st["res_norm"][st["it"] - 1]
+        return rp * rp
+
+    def cond(st):
+        return jnp.logical_and(st["it"] < maxit, res_prev2(st) > tol2)
+
+    def body(st):
+        it, ivec = st["it"], st["ivec"]
+        nsteps = jnp.minimum(spdim - 1 - ivec, maxit - it)
+        x, r, p, V, alphas, betas, res2, cnt, rTz = _stretch_call(
+            nvec, spdim, R, C, K, planes, minv,
+            G.reshape(2 * nvec * R, C), A1.reshape(nvec * R, C),
+            B.reshape(2 * nvec * R, C),
+            st["x"], st["r"], st["p"], st["V"], tol2, st["rTz"],
+            res_prev2(st), nsteps, ivec, interpret=interpret)
+
+        # reconstruct res history + the tridiagonal VtAV advances
+        # (defcg.jl:415-423) from the streamed per-iteration scalars
+        idx = jnp.arange(spdim)
+        live = idx < cnt
+        res_norm = st["res_norm"]
+        res_norm = res_norm.at[jnp.where(live, it + idx, maxit)].set(
+            jnp.sqrt(res2), mode="drop")
+
+        def vtav_update(i, VtAV):
+            iv = ivec + i
+            a, b_ = alphas[i], betas[i]
+            VtAV = VtAV.at[iv, iv].add(1.0 / a)
+            VtAV = VtAV.at[iv, iv + 1].set(-jnp.sqrt(b_) / a)
+            VtAV = VtAV.at[iv + 1, iv + 1].set(b_ / a)
+            return VtAV
+
+        VtAV = jax.lax.fori_loop(0, cnt, vtav_update, st["VtAV"])
+        st2 = dict(x=x, r=r, p=p, rTz=rTz, it=it + cnt, ivec=ivec + cnt,
+                   V=V, VtAV=VtAV, first=st["first"],
+                   jr=jnp.where(cnt > 0, jnp.bool_(False), st["jr"]),
+                   res_norm=res_norm)
+
+        # restart iteration (only when still iterating: ivec == spdim−1)
+        do_restart = jnp.logical_and(st2["it"] < maxit,
+                                     res_prev2(st2) > tol2)
+        return jax.lax.cond(
+            do_restart,
+            lambda s: _xla_restart_iteration(planes, minv, G, A1, B, WtA,
+                                             R, C, K, nvec, spdim, s),
+            lambda s: s, st2)
+
+    st = jax.lax.while_loop(cond, body, st)
+
+    # post-loop harvest (defcg.jl:438-465), same as _eigdef_impl
+    V2 = st["V"].reshape(spdim, RC)
+
+    def harvest(args):
+        V2, VtAV = args
+        m = st["ivec"]
+
+        def first_fix(VtAV):
+            block = WtA @ V2[nvec:spdim].T
+            colmask = (jnp.arange(nvec, spdim) < m)[None, :]
+            return VtAV.at[:nvec, nvec:].set(
+                jnp.where(colmask, block, VtAV[:nvec, nvec:]))
+
+        VtAV = jax.lax.cond(st["first"], first_fix, lambda a: a, VtAV)
+        _, QZ, nev = thick_restart_basis(VtAV, nvec, m)
+        return V2.at[:2 * nvec].set(QZ.T @ V2)
+
+    do_h = jnp.logical_and(~st["jr"], st["ivec"] > nvec)
+    V2 = jax.lax.cond(do_h, harvest, lambda a: a[0], (V2, st["VtAV"]))
+    return st["x"], st["it"], st["res_norm"], V2[:nvec]
+
+
+def vmem_eigdefpcg(ps: PaddedStencil, b_full, W, mdiag_full=None,
+                   spdim: int = 48, maxit: int = 0, rtol: float = 1e-7,
+                   interpret: bool = False):
+    """eigDef-PCG with diag preconditioner, VMEM-stretch execution.
+
+    W: (n, nvec) full-grid deflation basis (Dirichlet rows zero).
+    mdiag_full: (n,) preconditioner diagonal (defaults to A's own — Jacobi).
+    Returns (x_full, it, res_norm, W_new (n, nvec)) with the iteration and
+    recycling semantics of solvers.defcg.eigdefpcg (defcg.jl:313-473)."""
+    n = ps.H * ps.W
+    W = jnp.asarray(W)
+    nvec = W.shape[1]
+    assert spdim >= 2 * nvec + 1
+    maxit = n if maxit == 0 else maxit
+    bp = pad_vec(ps, jnp.asarray(b_full))
+    planes = _unblock_planes(ps)
+    minv = _jacobi_minv(ps, planes, mdiag_full).astype(bp.dtype)
+    Wp = jnp.concatenate([pad_vec(ps, W[:, k]) for k in range(nvec)], axis=0)
+    x, it, res, Wf = _vmem_eigdef_impl(ps, planes, minv, bp, Wp, nvec, spdim,
+                                       maxit, jnp.asarray(rtol, bp.dtype),
+                                       interpret=interpret)
+    Wn = jnp.stack([unpad_vec(ps, Wf[k].reshape(ps.R, ps.C))
+                    for k in range(nvec)], axis=1)
+    return unpad_vec(ps, x), it, res, Wn

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 
 def _sym(T):
-    return (T + T.T) / 2
+    return (T + jnp.swapaxes(T, -1, -2)) / 2
 
 
 def _spd_ridge(T):
@@ -33,8 +33,8 @@ def _spd_ridge(T):
     a marginal pivot NaN-poisons the whole recycled basis. The ridge is
     ~10·eps relative to the largest diagonal entry — invisible in f64
     (oracle parity untouched), a rescue in f32."""
-    d = jnp.abs(jnp.diagonal(T)).max()
-    s = T.shape[0]
+    d = jnp.abs(jnp.diagonal(T, axis1=-2, axis2=-1)).max()
+    s = T.shape[-1]
     return T + (10 * jnp.finfo(T.dtype).eps * d) * jnp.eye(s, dtype=T.dtype)
 
 
@@ -66,11 +66,17 @@ def thick_restart_basis(Tm, nvec: int, active_dim):
     act = i < active_dim
     Tm0 = _sym(Tm) * act[:, None] * act[None, :]
 
-    Y1 = masked_least_eigvecs(Tm0, nvec, act)
+    # the two least-dominant bases use independent BIG-shifted matrices —
+    # ONE batched eigh (TPU small eighs are latency-bound; restarts are the
+    # dominant cost of every recycled solve at study sizes)
     act2 = i < (active_dim - 1)
     Tm2 = Tm0 * act2[:, None] * act2[None, :]
-    Y2 = masked_least_eigvecs(Tm2, nvec, act2)
-    Y = jnp.concatenate([Y1, Y2], axis=1)              # (spdim, 2nvec)
+    big0 = 2.0 + jnp.sum(jnp.abs(Tm0))
+    big2 = 2.0 + jnp.sum(jnp.abs(Tm2))
+    sh0 = Tm0 + big0 * jnp.diag(jnp.where(act, 0.0, 1.0).astype(dtype))
+    sh2 = Tm2 + big2 * jnp.diag(jnp.where(act2, 0.0, 1.0).astype(dtype))
+    _, Ub = jnp.linalg.eigh(jnp.stack([sh0, sh2]))
+    Y = jnp.concatenate([Ub[0, :, :nvec], Ub[1, :, :nvec]], axis=1)
 
     U, s, _ = jnp.linalg.svd(Y, full_matrices=False)
     # numpy matrix_rank convention: tol = s_max * max(M, N) * eps
@@ -101,20 +107,27 @@ def _masked_gen_eigvecs(S, T, k: int, active):
 
     Masking: T gets identity on inactive coords (stays SPD), S gets a BIG
     diagonal there so inactive pairs sort last under ascending eigh.
-    Returns (s, k) vectors supported on active coords.
+    Returns (s, k) vectors supported on active coords. `active` may carry a
+    leading batch axis — every factorization then runs batched (TPU small
+    decompositions are latency-bound, so two masked problems cost one).
     """
     dtype = S.dtype
-    actf = active.astype(dtype)
-    S0 = _sym(S) * actf[:, None] * actf[None, :]
-    T0 = _sym(T) * actf[:, None] * actf[None, :] + jnp.diag(1.0 - actf)
-    big = 2.0 + jnp.sum(jnp.abs(S0))
-    S0 = S0 + big * jnp.diag(1.0 - actf)
+    actf = active.astype(dtype)[..., None]               # (..., s, 1)
+    actr = actf * jnp.swapaxes(actf, -1, -2)             # (..., s, s)
+    diag_in = (1.0 - active.astype(dtype))
+    eye_in = diag_in[..., :, None] * jnp.eye(S.shape[-1], dtype=dtype)
+    S0 = _sym(S) * actr
+    T0 = _sym(T) * actr + eye_in
+    big = 2.0 + jnp.sum(jnp.abs(S0), axis=(-2, -1), keepdims=True)
+    S0 = S0 + big * eye_in
     L = jnp.linalg.cholesky(_spd_ridge(T0))
     Y = jax.scipy.linalg.solve_triangular(L, S0, lower=True)
-    B = jax.scipy.linalg.solve_triangular(L, Y.T, lower=True)
+    B = jax.scipy.linalg.solve_triangular(L, jnp.swapaxes(Y, -1, -2),
+                                          lower=True)
     _, U = jnp.linalg.eigh(_sym(B))
-    V = jax.scipy.linalg.solve_triangular(L.T, U[:, :k], lower=False)
-    return V * actf[:, None]
+    V = jax.scipy.linalg.solve_triangular(jnp.swapaxes(L, -1, -2),
+                                          U[..., :, :k], lower=False)
+    return V * actf
 
 
 def ritz_basis_gen(S, T, nvec: int, active_dim):
@@ -142,10 +155,9 @@ def thick_restart_basis_gen(S, T, nvec: int, active_dim):
     S0 = _sym(S) * actf[:, None] * actf[None, :]
     T0 = _sym(T) * actf[:, None] * actf[None, :]
 
-    Y1 = _masked_gen_eigvecs(S, T, nvec, act)
     act2 = i < (active_dim - 1)
-    Y2 = _masked_gen_eigvecs(S, T, nvec, act2)
-    Y = jnp.concatenate([Y1, Y2], axis=1)
+    Yb = _masked_gen_eigvecs(S, T, nvec, jnp.stack([act, act2]))
+    Y = jnp.concatenate([Yb[0], Yb[1]], axis=1)
 
     U, sv, _ = jnp.linalg.svd(Y, full_matrices=False)
     nev = matrix_rank_tol(sv, s, 2 * nvec)
