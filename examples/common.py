@@ -64,13 +64,27 @@ def build_fem(args):
 
 
 def build_kl(args, mesh, nev=50, relative=0.995, verbose=True):
+    """KL basis with artifact caching: the (λ, Ψ) pair is persisted to
+    data_dir keyed by the reference's root filename (the reference's
+    load_existing_* stage-skipping, Example07:24-30 / SURVEY.md §5) — the
+    eigensolve is minutes at 32k+ nodes and is identical across drivers."""
     from krylov_spdes_tpu.fem.assembly import get_mass_matrix
     from krylov_spdes_tpu.kl.covariance import make_cov
     from krylov_spdes_tpu.kl.single import solve_kl
     cov = make_cov(args.model, args.sig2, args.L)
     M = get_mass_matrix(mesh.cells, mesh.points)
+    cache = os.path.join(args.data_dir,
+                         f"{root_fname(args)}.seed{args.seed}.kl{nev}.npz")
+    if os.path.exists(cache):
+        d = np.load(cache)
+        if d["psi"].shape[0] == mesh.nnode:
+            if verbose:
+                print(f"KL basis loaded from {cache}")
+            return cov, M, d["lam"], d["psi"]
     lam, psi = solve_kl(mesh.cells, mesh.points, cov, nev, M,
                         relative=relative, verbose=verbose)
+    os.makedirs(args.data_dir, exist_ok=True)
+    np.savez(cache, lam=np.asarray(lam), psi=np.asarray(psi))
     return cov, M, lam, psi
 
 

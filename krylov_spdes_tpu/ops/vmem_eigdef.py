@@ -79,7 +79,7 @@ def _stretch_kernel(nvec, spdim, R, C, K,
                     xin_ref, rin_ref, pin_ref, Vin_ref,
                     xo_ref, ro_ref, po_ref, V_ref,
                     alphas_ref, betas_ref, res2_ref, cnt_ref, rTz_ref,
-                    vcol_scr, U_scr, sem):
+                    vcol_scr, sem):
     """Run up to `nsteps` advance iterations fully in VMEM.
 
     scal_ref (SMEM, (3,1) f32): [tol², rᵀz, ‖r‖²_prev]
@@ -114,24 +114,21 @@ def _stretch_kernel(nvec, spdim, R, C, K,
         alpha = rTz / jnp.sum(p * ap)
         xo_ref[...] = xo_ref[...] + alpha * p
         r = ro_ref[...] - alpha * ap
-        # one VMEM pass over G: reorth + deflation coefficients (scalars).
-        # fori_loops (not unrolled Python loops) keep ONE tile live at a
-        # time — the unrolled form blew the 16 MB scoped-VMEM stack.
-        def u_step(k, _):
-            U_scr[k, 0] = jnp.sum(G_ref[pl.ds(k * R, R), :] * r)
-            return 0
-
-        jax.lax.fori_loop(0, 2 * nvec, u_step, 0)
-
-        def accr_step(k, acc):
-            return acc + U_scr[k, 0] * A1_ref[pl.ds(k * R, R), :]
-
-        acc_r = jax.lax.fori_loop(0, nvec, accr_step, jnp.zeros_like(r))
-
-        def accp_step(k, acc):
-            return acc + U_scr[k, 0] * B_ref[pl.ds(k * R, R), :]
-
-        acc_p = jax.lax.fori_loop(0, 2 * nvec, accp_step, jnp.zeros_like(r))
+        # one VMEM pass over G: reorth + deflation coefficients. STATIC
+        # Python unroll over the 2nvec basis planes (a fori_loop serialized
+        # each tile-reduce behind a scalar-SMEM round trip — measured
+        # ~480 µs/iteration at 65k DoF, 5x slower than the XLA twin; 3-D
+        # vector forms hit Mosaic gather/layout limits). The unroll leaves
+        # only value-level data flow, so the scheduler pipelines the plane
+        # reductions.
+        U = [jnp.sum(G_ref[k * R:(k + 1) * R, :] * r)
+             for k in range(2 * nvec)]
+        acc_r = jnp.zeros_like(r)
+        for k in range(nvec):
+            acc_r = acc_r + U[k] * A1_ref[k * R:(k + 1) * R, :]
+        acc_p = jnp.zeros_like(r)
+        for k in range(2 * nvec):
+            acc_p = acc_p + U[k] * B_ref[k * R:(k + 1) * R, :]
         r = r - acc_r                       # defcg.jl:407 reorth
         ro_ref[...] = r
         rTr = jnp.sum(r * r)
@@ -204,7 +201,6 @@ def _stretch_call(nvec, spdim, R, C, K, planes, minv, G, A1, B,
         input_output_aliases={10: 3},                 # V in -> V out
         scratch_shapes=[
             pltpu.VMEM((R, C), dtype),                # vcol
-            pltpu.SMEM((2 * nvec, 1), dtype),         # U coefficients
             pltpu.SemaphoreType.DMA,
         ],
         # the default 16 MB scoped-VMEM stack can't hold the staging for the
@@ -264,14 +260,14 @@ def _xla_restart_iteration(planes, minv, G, A1, B, WtA, R, C, K, nvec, spdim,
                 res_norm=res_norm)
 
 
-@partial(jax.jit, static_argnames=("nvec", "spdim", "maxit", "interpret"))
-def _vmem_eigdef_impl(ps: PaddedStencil, planes, minv, bp, Wp, nvec, spdim,
+@partial(jax.jit, static_argnames=("R", "C", "K", "nvec", "spdim", "maxit",
+                                   "interpret"))
+def _vmem_eigdef_impl(R, C, K, planes, minv, bp, Wp, nvec, spdim,
                       maxit, rtol, interpret=False):
     """Segmented eigDef-PCG: VMEM kernel stretches + XLA restarts.
 
     Wp: (nvec·R, C) padded deflation basis. Same iteration/restart semantics
     as solvers.defcg._eigdef_impl (fused path) — parity-tested."""
-    R, C, K = ps.R, ps.C, ps.K
     dtype = bp.dtype
     RC = R * C
 
@@ -395,7 +391,10 @@ def vmem_eigdefpcg(ps: PaddedStencil, b_full, W, mdiag_full=None,
     """eigDef-PCG with diag preconditioner, VMEM-stretch execution.
 
     W: (n, nvec) full-grid deflation basis (Dirichlet rows zero).
-    mdiag_full: (n,) preconditioner diagonal (defaults to A's own — Jacobi).
+    mdiag_full: (n,) MATRIX diagonal of the preconditioner — it is inverted
+    internally, like fused_pcg (defaults to A's own diagonal = Jacobi). Note
+    this is the opposite convention from solvers.defcg.eigdefpcg's ``Mdiag``,
+    which takes the already-inverted diagonal.
     Returns (x_full, it, res_norm, W_new (n, nvec)) with the iteration and
     recycling semantics of solvers.defcg.eigdefpcg (defcg.jl:313-473)."""
     n = ps.H * ps.W
@@ -407,8 +406,9 @@ def vmem_eigdefpcg(ps: PaddedStencil, b_full, W, mdiag_full=None,
     planes = _unblock_planes(ps)
     minv = _jacobi_minv(ps, planes, mdiag_full).astype(bp.dtype)
     Wp = jnp.concatenate([pad_vec(ps, W[:, k]) for k in range(nvec)], axis=0)
-    x, it, res, Wf = _vmem_eigdef_impl(ps, planes, minv, bp, Wp, nvec, spdim,
-                                       maxit, jnp.asarray(rtol, bp.dtype),
+    x, it, res, Wf = _vmem_eigdef_impl(ps.R, ps.C, ps.K, planes, minv, bp,
+                                       Wp, nvec, spdim, maxit,
+                                       jnp.asarray(rtol, bp.dtype),
                                        interpret=interpret)
     Wn = jnp.stack([unpad_vec(ps, Wf[k].reshape(ps.R, ps.C))
                     for k in range(nvec)], axis=1)

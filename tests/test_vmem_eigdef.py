@@ -1,0 +1,84 @@
+"""VMEM-stretch eigDef-PCG (ops/vmem_eigdef.py): exact f64 iteration /
+solution / recycled-subspace parity with solvers.defcg.eigdefpcg in Pallas
+interpret mode (the kernel's XLA twin is itself oracle-parity-tested against
+defcg.jl:313-473 in test_recycling.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from krylov_spdes_tpu.fem.mesh import get_mesh
+from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+from krylov_spdes_tpu.fem.assembly import (
+    prepare_elliptic_assembly, do_isotropic_elliptic_assembly)
+from krylov_spdes_tpu.ops.stencil import build_stencil_op, to_full_vector
+from krylov_spdes_tpu.ops.fused_cg import build_padded_stencil
+from krylov_spdes_tpu.ops.vmem_eigdef import vmem_eigdefpcg
+from krylov_spdes_tpu.solvers.defcg import eigdefpcg
+
+
+def _setup(nn=900, jitter=0.2, seed=3, coeff_seed=0):
+    mesh = get_mesh(nn, jitter=jitter, seed=seed)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    asm = prepare_elliptic_assembly(
+        mesh.cells, mesh.points, maps,
+        lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+    rng = np.random.default_rng(coeff_seed)
+    A, b = do_isotropic_elliptic_assembly(
+        asm, np.exp(rng.normal(size=mesh.nnode)))
+    m1 = int(round(np.sqrt(mesh.nnode)))
+    St = build_stencil_op(A, maps, (m1, m1))
+    b_full = to_full_vector(maps, jnp.asarray(b), mesh.nnode)
+    return mesh, maps, St, b_full
+
+
+@pytest.mark.parametrize("nvec,spdim", [(4, 12), (8, 20)])
+def test_vmem_eigdefpcg_exact_parity(nvec, spdim):
+    """Chain semantics: a first solve harvests W, the second deflates with
+    it (the Example09/17 usage, SURVEY.md §3.4). Both solves must match the
+    XLA path exactly — iterations, solution, residual history, AND the
+    harvested subspace that seeds the next sample."""
+    mesh, maps, St, b_full = _setup()
+    n = mesh.nnode
+    dinv = 1.0 / St.diagonal()
+    rng = np.random.default_rng(1)
+    W0 = jnp.asarray(rng.normal(size=(n, nvec))) \
+        * jnp.asarray(~maps.is_dirichlet)[:, None]
+    # harvest a good deflation basis with one reference solve
+    W = eigdefpcg(St, b_full, W=W0, spdim=spdim, maxit=400, Mdiag=dinv).W
+
+    r_ref = eigdefpcg(St, b_full, W=W, spdim=spdim, maxit=400, Mdiag=dinv)
+    ps = build_padded_stencil(St, tb=16)
+    x, it, res, Wn = vmem_eigdefpcg(ps, b_full, W, spdim=spdim, maxit=400,
+                                    interpret=True)
+
+    assert int(it) == int(r_ref.it)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(r_ref.x),
+                               rtol=1e-10, atol=1e-13)
+    m = int(it)
+    np.testing.assert_allclose(np.asarray(res)[:m],
+                               np.asarray(r_ref.res_norm)[:m], rtol=1e-9)
+    # recycled subspaces identical (principal angles ~ 0)
+    Q1, _ = np.linalg.qr(np.asarray(r_ref.W))
+    Q2, _ = np.linalg.qr(np.asarray(Wn))
+    s = np.linalg.svd(Q1.T @ Q2, compute_uv=False)
+    np.testing.assert_allclose(s, 1.0, atol=1e-8)
+
+
+def test_vmem_eigdefpcg_restart_path():
+    """Small spdim forces several thick restarts through the XLA restart
+    iteration; parity must hold across them (defcg.jl:428-436)."""
+    mesh, maps, St, b_full = _setup(seed=5, coeff_seed=7)
+    n = mesh.nnode
+    nvec, spdim = 4, 9          # minimum legal spdim = 2 nvec + 1
+    dinv = 1.0 / St.diagonal()
+    rng = np.random.default_rng(2)
+    W = jnp.asarray(rng.normal(size=(n, nvec))) \
+        * jnp.asarray(~maps.is_dirichlet)[:, None]
+    r_ref = eigdefpcg(St, b_full, W=W, spdim=spdim, maxit=400, Mdiag=dinv)
+    ps = build_padded_stencil(St, tb=16)
+    x, it, res, Wn = vmem_eigdefpcg(ps, b_full, W, spdim=spdim, maxit=400,
+                                    interpret=True)
+    assert int(it) == int(r_ref.it)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(r_ref.x),
+                               rtol=1e-8, atol=1e-12)
