@@ -108,6 +108,10 @@ def main():
         print(f"real {ireal}: " + "  ".join(
             f"{s}: {iters[f'{s}_const'][ireal]}/{iters[f'{s}_rebuilt'][ireal]}"
             for s in strategies), flush=True)
+        if (ireal + 1) % 20 == 0 or ireal == args.nreals - 1:
+            # periodic checkpoint of the regression surface (deviation #11)
+            save_npz(args, f"ndom{args.ndom}.ex06.iters",
+                     ndone=np.int64(ireal + 1), **iters)
 
     for k, v in iters.items():
         print(f"{k}: mean {v.mean():.1f} ± {v.std():.1f}")

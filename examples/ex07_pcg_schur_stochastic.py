@@ -62,6 +62,11 @@ def main():
             iters[name][ireal] = int(r.it)
         print(f"real {ireal}: " + "  ".join(
             f"{k}={iters[k][ireal]}" for k in names), flush=True)
+        if (ireal + 1) % 20 == 0 or ireal == args.nreals - 1:
+            # periodic checkpoint of the regression surface (deviation #11:
+            # long protocols survive interruption; ndone marks validity)
+            save_npz(args, f"ndom{args.ndom}.ex07.iters",
+                     ndone=np.int64(ireal + 1), **iters)
 
     for k, v in iters.items():
         print(f"{k}: mean {v.mean():.1f} ± {v.std():.1f}")
