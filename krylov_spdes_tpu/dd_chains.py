@@ -42,8 +42,8 @@ from jax.tree_util import Partial
 from .fem.dd import DDAssemblyPlan, DDPartition, assemble_dd_values
 from .fem.schur import (SchurOperator, prepare_schur_operator, get_schur_rhs,
                         prepare_neumann_neumann_schur_precond,
-                        assemble_local_schurs, factorize_interiors,
-                        interior_solve, _masked_pinv)
+                        assemble_local_schurs, assembled_schur_operator,
+                        factorize_interiors, interior_solve, _masked_pinv)
 from .samplers.samplers import SamplerState, _draw_mcmc, _draw_mc
 from .solvers.base import as_precond_op, static_bind
 from .solvers.defcg import _eigdef_impl
@@ -65,13 +65,20 @@ def dd_solve_operands(plan: DDAssemblyPlan, part: DDPartition, coeff_nodes):
 def _dd_chain_step_core(plan, part, state, W, M_const, nvec, spdim, maxit,
                         rtol):
     """One unbatched DD chain step: draw -> refill -> condense -> NN ->
-    recycled eigDef-PCG on the interface system."""
+    recycled eigDef-PCG on the interface system.
+
+    The CG loop applies the ASSEMBLED local Schur blocks (one batched
+    (ndom, nG, nG) einsum per matvec, reference :761's assembled flavor) —
+    the condensation interior solves run ONCE per sample instead of once per
+    iteration, and the NN preconditioner shares the same Sd blocks."""
     state, cnt = (_draw_mcmc if state.kind != "mc" else _draw_mc)(state)
     S, b_s, b_I = dd_solve_operands(plan, part, jnp.exp(state.g))
-    M = (prepare_neumann_neumann_schur_precond(S) if M_const is None
+    Sd = assemble_local_schurs(S)
+    A = assembled_schur_operator(S, Sd=Sd)
+    M = (prepare_neumann_neumann_schur_precond(S, Sd=Sd) if M_const is None
          else M_const)
     x0 = jnp.zeros_like(b_s)
-    x, it, res, Wn = _eigdef_impl(S.as_partial_op(), M, b_s, x0, W, nvec,
+    x, it, res, Wn = _eigdef_impl(A, M, b_s, x0, W, nvec,
                                   spdim, maxit, rtol, True, True)
     return state, Wn, it, cnt
 
@@ -87,8 +94,10 @@ def seed_dd_chain(plan: DDAssemblyPlan, part: DDPartition,
     Example06:95-134 compares it against per-sample rebuilds), else None."""
     rtol = effective_rtol(plan.kflat.dtype, rtol)
     S, b_s, _ = dd_solve_operands(plan, part, jnp.exp(state.g))
-    M = prepare_neumann_neumann_schur_precond(S)
-    x, it, res, W = _eigpcg_impl(S.as_partial_op(), M, b_s,
+    Sd = assemble_local_schurs(S)
+    A = assembled_schur_operator(S, Sd=Sd)
+    M = prepare_neumann_neumann_schur_precond(S, Sd=Sd)
+    x, it, res, W = _eigpcg_impl(A, M, b_s,
                                  jnp.zeros_like(b_s), nvec, spdim, maxit,
                                  rtol)
     return W, it, (M if constant_precond else None)
@@ -355,13 +364,24 @@ def _local_assemble(sp: ShardedDDPlan, coeff_e, axis):
 
 
 def _schur_mv_psum(n_gamma, axis, L, A_IG, A_GGd, g2g, gmask, x):
-    """Local Schur matvec + psum halo exchange (the sharded S x)."""
+    """Local Schur matvec + psum halo exchange (the sharded S x),
+    matrix-free flavor (per-matvec interior solves)."""
     xd = x[g2g] * gmask
     t1 = jnp.einsum("dgh,dh->dg", A_GGd, xd)
     v = jnp.einsum("dig,dg->di", A_IG, xd)
     w = interior_solve(L, v)
     t2 = jnp.einsum("dig,di->dg", A_IG, w)
     Sdxd = (t1 - t2) * gmask
+    part = jnp.zeros((n_gamma,), x.dtype).at[g2g.reshape(-1)].add(
+        Sdxd.reshape(-1))
+    return jax.lax.psum(part, axis)
+
+
+def _schur_mv_assembled_psum(n_gamma, axis, Sd, g2g, gmask, x):
+    """Assembled local-Schur matvec + psum halo exchange: one batched
+    (dpl, nG, nG) einsum per S x (the chain-solver hot path)."""
+    xd = x[g2g] * gmask
+    Sdxd = jnp.einsum("dgh,dh->dg", Sd, xd) * gmask
     part = jnp.zeros((n_gamma,), x.dtype).at[g2g.reshape(-1)].add(
         Sdxd.reshape(-1))
     return jax.lax.psum(part, axis)
@@ -389,14 +409,16 @@ def _local_condense(sp: ShardedDDPlan, coeff, axis):
     w = jnp.einsum("dig,di->dg", A_IG, v) * sp.gmask
     part = jnp.zeros_like(b_G).at[sp.g2g.reshape(-1)].add(w.reshape(-1))
     b_s = b_G - jax.lax.psum(part, axis)
-    # local Schur blocks -> NN pinv (batched over the local dom shard)
+    # local Schur blocks: shared by the assembled operator AND the NN pinv
+    # (batched over the local dom shard) — interior solves run once here,
+    # not per CG iteration
     W = interior_solve(L, A_IG)
     Sd = (A_GGd - jnp.einsum("dig,dih->dgh", A_IG, W)) \
         * sp.gmask[:, :, None] * sp.gmask[:, None, :]
     PiSd = _masked_pinv(Sd, sp.gmask)
     cnt_inv = 1.0 / sp.gamma_cnt
-    A = Partial(static_bind(_schur_mv_psum, sp.n_gamma, axis), L, A_IG,
-                A_GGd, sp.g2g, sp.gmask)
+    A = Partial(static_bind(_schur_mv_assembled_psum, sp.n_gamma, axis), Sd,
+                sp.g2g, sp.gmask)
     M = Partial(static_bind(_nn_psum, sp.n_gamma, axis), PiSd, sp.g2g,
                 sp.gmask, cnt_inv)
     return A, M, b_s

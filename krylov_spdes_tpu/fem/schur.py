@@ -133,10 +133,13 @@ def _schur_matvec_assembled(n_gamma, Sd, g2g, gmask, x):
         Sdxd.reshape(-1))
 
 
-def assembled_schur_operator(S: SchurOperator):
+def assembled_schur_operator(S: SchurOperator, Sd=None):
     """Linear-operator callable applying the pre-assembled Sd blocks
-    (apply_local_schurs assembled flavor, reference :761)."""
-    Sd = assemble_local_schurs(S)
+    (apply_local_schurs assembled flavor, reference :761). One batched
+    (ndom, nG, nG) einsum per matvec — no per-iteration interior solves,
+    which is why the chain solvers ride this path."""
+    if Sd is None:
+        Sd = assemble_local_schurs(S)
     from ..solvers.base import static_bind
     # n_gamma is a shape -> static, bound with a stable identity
     return Partial(static_bind(_schur_matvec_assembled, S.n_gamma), Sd,
@@ -204,11 +207,13 @@ def _nn_apply(n_gamma, PiSd, g2g, gmask, cnt_inv, r):
     return z * cnt_inv
 
 
-def prepare_neumann_neumann_schur_precond(S: SchurOperator):
+def prepare_neumann_neumann_schur_precond(S: SchurOperator, Sd=None):
     """Batched pinv of the (singular) local Schur complements; apply =
     multiplicity-weighted scatter → ΠSd matmul → weighted gather
-    (reference :1361-1383)."""
-    Sd = assemble_local_schurs(S)
+    (reference :1361-1383). Pass precomputed local Schur blocks via ``Sd``
+    to share the condensation with the assembled operator."""
+    if Sd is None:
+        Sd = assemble_local_schurs(S)
     PiSd = _masked_pinv(Sd, S.gmask)
     cnt_inv = 1.0 / S.gamma_cnt
     from ..solvers.base import static_bind

