@@ -1,0 +1,142 @@
+"""DD-flagship benchmark: time per MCMC realization of the Schur-DD recycled
+chain (BASELINE.md north star: Example09 recycled chains composed with
+Example07 Schur operators, reference Example09..._Functions.jl:139-509 x
+Example07:86-424).
+
+Prints one JSON line with the median time of a full DD chain step —
+RW-Metropolis draw + batched DD block refill + interior Cholesky + Schur
+condensation + NN preconditioner + recycled eigDef-PCG on the interface
+system — on the default backend, plus a per-stage breakdown comment.
+
+  BENCH_NNODE=65000 BENCH_NDOM=32 BENCH_NVEC=16 python bench_dd_chain.py
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _timeit(fn, readback, n=3):
+    fn()  # compile / warm
+    readback()
+    ts = []
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        readback()
+        ts.append(time.time() - t0)
+    return sorted(ts)[n // 2]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    cpu = jax.devices("cpu")[0]
+    nnode = int(os.environ.get("BENCH_NNODE", "65000"))
+    ndom = int(os.environ.get("BENCH_NDOM", "32"))
+    nvec = int(os.environ.get("BENCH_NVEC", "16"))
+    spdim = max(3 * nvec, 2 * nvec + 1)
+    maxit = int(os.environ.get("BENCH_MAXIT", "500"))
+
+    kind = os.environ.get("BENCH_PLAN", "stencil")  # stencil | scatter
+
+    with jax.default_device(cpu):
+        from krylov_spdes_tpu.fem.mesh import get_mesh
+        from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+        from krylov_spdes_tpu.chains import prepare_chain_states
+        mesh = get_mesh(nnode, seed=0)
+        maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+        fsrc = lambda x, y: -1.0 + 0.0 * x
+        uex = lambda x, y: 0.0 * x
+        if kind == "stencil":
+            from krylov_spdes_tpu.fem.dd_stencil import (
+                prepare_dd_stencil_assembly, assemble_dd_values_stencil)
+            epart, part, plan = prepare_dd_stencil_assembly(
+                mesh, maps, fsrc, uex, ndom)
+            assemble = assemble_dd_values_stencil
+        else:
+            from krylov_spdes_tpu.fem.partition import mesh_partition
+            from krylov_spdes_tpu.fem.dd import (set_subdomains,
+                                                 prepare_dd_assembly,
+                                                 assemble_dd_values)
+            epart, _ = mesh_partition(mesh.cells, mesh.points, ndom,
+                                      mesh.cell_neighbors)
+            part = set_subdomains(mesh.cells, epart, maps, ndom)
+            plan = prepare_dd_assembly(mesh.cells, mesh.points, epart, part,
+                                       maps, fsrc, uex)
+            assemble = assemble_dd_values
+        xs, ys = mesh.points[:, 0], mesh.points[:, 1]
+        modes, lams = [], []
+        for a in range(1, 6):
+            for b_ in range(1, 6):
+                modes.append(np.sin(np.pi * a * xs) * np.sin(np.pi * b_ * ys)
+                             * 2)
+                lams.append(np.exp(-0.2 * (a * a + b_ * b_)))
+        psi = np.stack(modes, 1).astype(np.asarray(plan.kflat).dtype)
+        lam = np.asarray(lams, psi.dtype)
+        state = prepare_chain_states(lam, psi, nchains=1)
+
+    from krylov_spdes_tpu.dd_chains import (make_dd_chain_step, seed_dd_chain,
+                                            dd_solve_operands)
+    from krylov_spdes_tpu.fem.schur import (assemble_local_schurs,
+                                            prepare_neumann_neumann_schur_precond)
+    import dataclasses as dc
+    state = dc.replace(state, xi=state.xi[0], g=state.g[0], key=state.key[0])
+    dev = jax.devices()[0]
+    plan = jax.device_put(plan, dev)
+    state = jax.device_put(state, dev)
+    print(f"# ndom={ndom} nI={plan.nI} nG={plan.nG} n_gamma={plan.n_gamma} "
+          f"contribs={plan.kflat.shape[0]}")
+
+    # --- per-stage breakdown -------------------------------------------------
+    coeff = jnp.exp(state.g)
+
+    def _refill():
+        global _blk
+        _blk = assemble(plan, coeff)
+
+    t_refill = _timeit(_refill, lambda: float(jnp.sum(_blk[0])))
+
+    def _condense():
+        global _S, _bs
+        _S, _bs, _ = dd_solve_operands(plan, part, coeff)
+        global _Sd
+        _Sd = assemble_local_schurs(_S)
+
+    t_cond = _timeit(_condense, lambda: float(jnp.sum(_Sd)))
+
+    def _nn():
+        global _M
+        _M = prepare_neumann_neumann_schur_precond(_S, Sd=_Sd)
+
+    t_nn = _timeit(_nn, lambda: float(jnp.sum(_M.args[0])))
+
+    # --- full chain step ------------------------------------------------------
+    step = make_dd_chain_step(plan, part, nvec=nvec, spdim=spdim, maxit=maxit)
+    W, it0, _ = seed_dd_chain(plan, part, state, nvec, spdim, maxit)
+    int(it0)
+    state, W, it, cnt = step(state, W)
+    int(it)
+    times, its = [], []
+    for _ in range(5):
+        t0 = time.time()
+        state, W, it, cnt = step(state, W)
+        its.append(int(it))
+        times.append(time.time() - t0)
+    dt = sorted(times)[len(times) // 2]
+    baseline = float(os.environ.get("BENCH_BASELINE", dt))
+    print(json.dumps({
+        "metric": "dd_chain_time_per_realization",
+        "value": round(dt * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round(baseline / dt, 4),
+    }))
+    print(f"# breakdown: refill={t_refill * 1e3:.1f}ms "
+          f"condense(incl refill+chol)={t_cond * 1e3:.1f}ms "
+          f"nn_pinv={t_nn * 1e3:.1f}ms; iters/sample={its} seed_it={int(it0)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -55,8 +55,14 @@ from .chains import effective_rtol
 # Single-chain (one device) layout
 # ---------------------------------------------------------------------------
 
-def dd_solve_operands(plan: DDAssemblyPlan, part: DDPartition, coeff_nodes):
-    """Refill + condense one realization: (S, b_schur, b_I)."""
+def dd_solve_operands(plan, part: DDPartition, coeff_nodes):
+    """Refill + condense one realization: (S, b_schur, b_I). `plan` is a
+    DDAssemblyPlan (general scatter refill) or a DDStencilPlan (gather-free
+    structured-mesh refill, fem/dd_stencil.py)."""
+    from .fem.dd_stencil import DDStencilPlan, condense_dd_stencil
+    if isinstance(plan, DDStencilPlan):
+        # block-tridiagonal fast path: dense interiors never materialize
+        return condense_dd_stencil(plan, coeff_nodes)
     A_II, A_IG, A_GGd, b_I, b_G = assemble_dd_values(plan, coeff_nodes)
     S = prepare_schur_operator(plan, part, A_II, A_IG, A_GGd)
     return S, get_schur_rhs(S, b_I, b_G), b_I

@@ -263,9 +263,8 @@ def domain_decompose_rhs(part: DDPartition, maps: DirichletMaps, b_free):
     `domain_decompose_rhs!` (EllipticPdeDomainDecomposition.jl:545-582)."""
     b_free = np.asarray(b_free)
     b_I = np.zeros((part.ndom, part.nI_max), dtype=b_free.dtype)
-    for d in range(part.ndom):
-        nd = int(part.n_interior[d])
-        b_I[d, :nd] = b_free[maps.free_g2l[part.interior_l2g[d, :nd]]]
+    valid = part.interior_l2g >= 0
+    b_I[valid] = b_free[maps.free_g2l[part.interior_l2g[valid]]]
     b_G = b_free[maps.free_g2l[part.gamma_l2g]]
     return jnp.asarray(b_I), jnp.asarray(b_G)
 

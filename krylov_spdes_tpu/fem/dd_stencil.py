@@ -1,0 +1,437 @@
+"""Gather/scatter-free DD block refill for structured-topology meshes.
+
+The general DD refill (fem/dd.py `assemble_dd_values`) scatter-adds ~9·nel
+element contributions into the batched dense blocks — TPU scatters run on the
+scalar core, so at 65k DoF / 32 doms that one scatter costs ~33 ms, more than
+the entire stencil chain step. On structured-topology meshes (every
+`get_mesh` output, jittered or not) the same blocks are recoverable from the
+gather-free 9-plane stencil assembly (fem/stencil_assembly.py) with pure
+dense ops:
+
+1. The mesh is partitioned into a py×px grid of cell tiles (`grid_partition`
+   — contiguous and balanced like the reference's `mpmetis -contig`,
+   Fem/Mesh.jl:185). Subdomain interiors are node rectangles; the interface Γ
+   is the internal grid lines; each tile's local interface Γd is the boundary
+   ring of its interior rectangle.
+2. Every interior-row block entry is a GLOBAL stencil entry (an interior
+   node's elements all belong to its own tile), so A_II and A_IΓ come from
+   the assembled planes: per-tile static slices → band vectors → one
+   band-to-dense pad/reshape (the strided-flatten trick: entry (i, i+o) of an
+   (nE, nE) matrix sits at flat i·(nE+1)+o, so padding a (nE, 2wE+3) band
+   table to row length nE+1 and re-slicing the flat buffer lays every band
+   onto its diagonal with zero gathers) → submatrix extraction by slicing
+   the (hE, wE, hE, wE) view.
+3. Only A_ΓΓd (Γ-Γ couplings split by owning tile) and the Dirichlet-lift
+   RHS need per-element routing — a scatter ~25× smaller than the general
+   one (ring-ring contributions only).
+
+Reference parity: produces the same (A_II, A_IΓ, A_ΓΓd, b_I, b_Γ) batched
+blocks as `prepare_local_schurs` + `domain_decompose_rhs!`
+(/root/reference/Fem/EllipticPdeDomainDecomposition.jl:389-582) up to the
+subdomain-local index ordering, which is grid row-major here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bc import DirichletMaps
+from .dd import DDPartition
+from .mesh import element_geometry
+from .stencil_assembly import (StencilAssemblyPlan, prepare_stencil_assembly,
+                               stencil_assemble, _coeff_element_planes)
+from ..ops.stencil import OFFSETS
+
+
+def _split_bounds(m: int, k: int) -> np.ndarray:
+    """k contiguous bands of m cells, sizes m//k (+1 for the first m%k)."""
+    q, r = divmod(m, k)
+    sizes = np.full(k, q, dtype=np.int64)
+    sizes[:r] += 1
+    return np.concatenate([[0], np.cumsum(sizes)])
+
+
+def tile_dims(ndom: int) -> tuple[int, int]:
+    """Near-square (py, px) factorization with py·px = ndom, py <= px."""
+    best = (1, ndom)
+    for py in range(1, int(np.sqrt(ndom)) + 1):
+        if ndom % py == 0:
+            best = (py, ndom // py)
+    return best
+
+
+def grid_partition(mesh, ndom: int):
+    """py×px cell-tile partition of a structured-topology mesh. Returns
+    (epart, tile geometry dict). Contiguous + balanced by construction."""
+    H = int(round(np.sqrt(mesh.nnode)))
+    assert H * H == mesh.nnode, "grid_partition needs the structured grid"
+    m = H - 1
+    py, px = tile_dims(ndom)
+    assert py <= m and px <= m, (ndom, m)
+    rb = _split_bounds(m, py)
+    cb = _split_bounds(m, px)
+    nel = mesh.cells.shape[0]
+    eci = (np.arange(nel) // 2) // m
+    ecj = (np.arange(nel) // 2) % m
+    band_r = np.searchsorted(rb, eci, side="right") - 1
+    band_c = np.searchsorted(cb, ecj, side="right") - 1
+    epart = (band_r * px + band_c).astype(np.int32)
+    return epart, dict(H=H, m=m, py=py, px=px, rb=rb, cb=cb)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["splan", "edge_mask", "h_arr", "w_arr", "imask",
+                      "gmask", "gg_tgt", "gg_fac", "gg_ceidx", "gamma_idx",
+                      "ig_src", "ig_tgt", "gamma_cnt_f", "g2g"],
+         meta_fields=["ndom", "nI", "nG", "n_gamma", "hM", "wM", "hE", "wE",
+                      "r0s", "c0s", "band_cols"])
+@dataclasses.dataclass
+class DDStencilPlan:
+    """Stencil-derived DD refill plan (pytree).
+
+    splan:     the shared 9-plane stencil assembly plan
+    edge_mask: (9, hE, wE) zero where the offset wraps the extended tile
+    h_arr/w_arr: (ndom,) interior heights/widths (for the dynamic ring slices)
+    imask/gmask: validity masks (ndom, nI) / (ndom, nG)
+    gg_*:      the small Γ-Γ contribution scatter (tgt into (ndom,nG,nG) flat,
+               geometry factor, element-plane index into the (2,m,m) coeff
+               planes)
+    gamma_idx: (n_gamma,) global node id per Γ index (for the b_Γ gather)
+    r0s/c0s:   per-dom extended-rect origin (tile corner) — static slice
+               starts
+    band_cols: column of each OFFSETS plane in the band table
+    """
+    splan: StencilAssemblyPlan
+    edge_mask: jnp.ndarray
+    h_arr: jnp.ndarray
+    w_arr: jnp.ndarray
+    imask: jnp.ndarray
+    gmask: jnp.ndarray
+    gg_tgt: jnp.ndarray
+    gg_fac: jnp.ndarray
+    gg_ceidx: jnp.ndarray
+    gamma_idx: jnp.ndarray
+    ig_src: jnp.ndarray      # A_IΓ gather: flat index into padded planes
+    ig_tgt: jnp.ndarray      # A_IΓ scatter: flat index into (ndom·nI·nG)
+    gamma_cnt_f: jnp.ndarray  # (n_gamma,) multiplicity (float, for NN)
+    g2g: jnp.ndarray         # (ndom, nG) Γ index per ring slot (0 at pads)
+    ndom: int
+    nI: int
+    nG: int
+    n_gamma: int
+    hM: int
+    wM: int
+    hE: int
+    wE: int
+    r0s: tuple
+    c0s: tuple
+    band_cols: tuple
+
+    @property
+    def kflat(self):
+        """dtype/shape handle, mirrors DDAssemblyPlan.kflat for callers that
+        only inspect the plan dtype (e.g. dd_chains.effective_rtol)."""
+        return self.splan.factors
+
+
+def prepare_dd_stencil_assembly(mesh, maps: DirichletMaps, f, u_exact,
+                                ndom: int, dtype=None):
+    """Tiling partition + DD index structures + stencil refill plan.
+
+    Returns (epart, DDPartition, DDStencilPlan). The DDPartition is fully
+    compatible with fem/schur.py and the DD preconditioners; interior local
+    indices are grid row-major within each tile's padded (hM, wM) rectangle
+    (pad slots interleave, marked -1 in interior_l2g / 0.0 in imask)."""
+    dtype = dtype or (jnp.float64 if jax.config.read("jax_enable_x64")
+                      else jnp.float32)
+    epart, tg = grid_partition(mesh, ndom)
+    H, m, py, px = tg["H"], tg["m"], tg["py"], tg["px"]
+    rb, cb = tg["rb"], tg["cb"]
+    nnode = mesh.nnode
+
+    r0s = tuple(int(rb[t // px]) for t in range(ndom))
+    r1s = tuple(int(rb[t // px + 1]) for t in range(ndom))
+    c0s = tuple(int(cb[t % px]) for t in range(ndom))
+    c1s = tuple(int(cb[t % px + 1]) for t in range(ndom))
+    h_arr = np.array([r1 - r0 - 1 for r0, r1 in zip(r0s, r1s)], np.int32)
+    w_arr = np.array([c1 - c0 - 1 for c0, c1 in zip(c0s, c1s)], np.int32)
+    hM, wM = int(h_arr.max()), int(w_arr.max())
+    hE, wE = hM + 2, wM + 2
+    nI = hM * wM
+    nG = 2 * wE + 2 * hM
+
+    # --- global Γ ----------------------------------------------------------
+    a_grid = np.arange(nnode) // H
+    b_grid = np.arange(nnode) % H
+    is_dir = maps.is_dirichlet
+    int_rows = np.zeros(m + 1, bool)
+    int_rows[rb[1:-1]] = True
+    int_cols = np.zeros(m + 1, bool)
+    int_cols[cb[1:-1]] = True
+    on_gamma = (~is_dir) & (int_rows[a_grid] | int_cols[b_grid])
+    gamma_l2g = np.nonzero(on_gamma)[0].astype(np.int32)
+    n_gamma = int(gamma_l2g.shape[0])
+    gamma_g2l = -np.ones(nnode, np.int32)
+    gamma_g2l[gamma_l2g] = np.arange(n_gamma, dtype=np.int32)
+
+    # --- per-dom tables -----------------------------------------------------
+    rloc = np.arange(hM)[:, None]
+    cloc = np.arange(wM)[None, :]
+    imask = ((rloc < h_arr[:, None, None]) &
+             (cloc < w_arr[:, None, None])).reshape(ndom, nI)
+
+    interior_l2g = -np.ones((ndom, nI), np.int32)
+    interior_g2l = -np.ones(nnode, np.int32)
+    gammad_to_gamma = -np.ones((ndom, nG), np.int32)
+    gamma_to_gammad = -np.ones((ndom, n_gamma), np.int32)
+    ring_slot = -np.ones((ndom, nnode), np.int32)
+    for d in range(ndom):
+        r0, r1, c0, c1 = r0s[d], r1s[d], c0s[d], c1s[d]
+        h, w = int(h_arr[d]), int(w_arr[d])
+        rr = np.arange(hM)[:, None]
+        cc = np.arange(wM)[None, :]
+        node = (r0 + 1 + rr) * H + (c0 + 1 + cc)
+        valid = (rr < h) & (cc < w)
+        interior_l2g[d] = np.where(valid, node, -1).reshape(-1)
+        li = (rr * wM + cc)
+        interior_g2l[node[valid]] = li[valid]
+        # ring slots: [top(wE) | bottom(wE) | left(hM) | right(hM)]
+        j = np.arange(wE)
+        top = np.where(j <= w + 1, r0 * H + (c0 + j), -1)
+        bot = np.where(j <= w + 1, r1 * H + (c0 + j), -1)
+        i = np.arange(hM)
+        left = np.where(i < h, (r0 + 1 + i) * H + c0, -1)
+        right = np.where(i < h, (r0 + 1 + i) * H + c1, -1)
+        ring = np.concatenate([top, bot, left, right])
+        ok = ring >= 0
+        gl = np.where(ok, gamma_g2l[np.maximum(ring, 0)], -1)
+        gammad_to_gamma[d] = gl
+        sl = np.nonzero(gl >= 0)[0]
+        gamma_to_gammad[d, gl[sl]] = sl
+        ring_slot[d, ring[sl]] = sl
+    gmask = gammad_to_gamma >= 0
+    gamma_cnt = gmask.sum(axis=0)[..., None].ravel() if False else \
+        np.zeros(n_gamma, np.int32)
+    np.add.at(gamma_cnt, gammad_to_gamma[gmask], 1)
+
+    n_interior = imask.sum(axis=1).astype(np.int64)
+    part = DDPartition(
+        ndom=ndom, n_gamma=n_gamma, nI_max=nI, nG_max=nG,
+        node_owner=_node_owner(nnode, is_dir, on_gamma, interior_g2l,
+                               interior_l2g),
+        gamma_l2g=gamma_l2g, gamma_g2l=gamma_g2l,
+        interior_l2g=interior_l2g, interior_g2l=interior_g2l,
+        n_interior=n_interior, gammad_to_gamma=gammad_to_gamma,
+        gamma_to_gammad=gamma_to_gammad,
+        n_gammad=gmask.sum(axis=1).astype(np.int64),
+        gamma_cnt=gamma_cnt.astype(np.int32))
+
+    # --- Γ-Γ contribution scatter (the only per-element routing left) -------
+    cells = mesh.cells
+    nel = cells.shape[0]
+    dx, dy, area = element_geometry(cells, mesh.points)
+    kg = (dy[:, :, None] * dy[:, None, :] + dx[:, :, None] * dx[:, None, :]) \
+        / (4.0 * area[:, None, None])
+    gi = cells[:, :, None].repeat(3, axis=2).ravel()
+    gj = cells[:, None, :].repeat(3, axis=1).ravel()
+    eid = np.broadcast_to(np.arange(nel)[:, None, None], (nel, 3, 3)).ravel()
+    gg = on_gamma[gi] & on_gamma[gj]
+    dom = epart[eid[gg]]
+    si = ring_slot[dom, gi[gg]]
+    sj = ring_slot[dom, gj[gg]]
+    assert (si >= 0).all() and (sj >= 0).all()
+    gg_tgt = (dom.astype(np.int64) * nG * nG + si * nG + sj).astype(np.int32)
+    gg_fac = kg.reshape(-1)[gg]
+    e = eid[gg]
+    gg_ceidx = ((e % 2) * m * m + (e // 2)).astype(np.int32)
+
+    # --- A_IΓ gather/scatter tables (ring-adjacent couplings only) ----------
+    Hp, Wp = H + hM + 2, H + wM + 2
+    ig_src_l, ig_tgt_l = [], []
+    for d in range(ndom):
+        r0, r1, c0, c1 = r0s[d], r1s[d], c0s[d], c1s[d]
+        h, w = int(h_arr[d]), int(w_arr[d])
+        rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        a = r0 + 1 + rr
+        bc = c0 + 1 + cc
+        iloc = rr * wM + cc
+        for k, (di, dj) in enumerate(OFFSETS):
+            na, nb_ = a + di, bc + dj
+            slot = np.full(na.shape, -1, np.int64)
+            slot = np.where(na == r0, nb_ - c0, slot)
+            slot = np.where(na == r1, (nb_ - c0) + wE, slot)
+            side = (na > r0) & (na < r1)
+            slot = np.where(side & (nb_ == c0), 2 * wE + na - r0 - 1, slot)
+            slot = np.where(side & (nb_ == c1),
+                            2 * wE + hM + na - r0 - 1, slot)
+            sel = slot >= 0
+            ig_src_l.append((k * Hp * Wp + a * Wp + bc)[sel])
+            ig_tgt_l.append((d * nI * nG + iloc * nG + slot)[sel])
+    ig_src = np.concatenate(ig_src_l).astype(np.int32)
+    ig_tgt = np.concatenate(ig_tgt_l)
+    assert ig_tgt.max() < np.iinfo(np.int32).max
+    ig_tgt = ig_tgt.astype(np.int32)
+
+    # --- band geometry ------------------------------------------------------
+    band_cols = tuple(di * wE + dj + (wE + 1) for di, dj in OFFSETS)
+    rE = np.arange(hE)[:, None]
+    cE = np.arange(wE)[None, :]
+    edge_mask = np.stack([((rE + di >= 0) & (rE + di < hE) &
+                           (cE + dj >= 0) & (cE + dj < wE))
+                          for di, dj in OFFSETS]).astype(np.float64)
+
+    splan = prepare_stencil_assembly(mesh, maps, f, u_exact, dtype=dtype)
+    plan = DDStencilPlan(
+        splan=splan,
+        edge_mask=jnp.asarray(edge_mask, dtype),
+        h_arr=jnp.asarray(h_arr), w_arr=jnp.asarray(w_arr),
+        imask=jnp.asarray(imask.astype(np.float64), dtype),
+        gmask=jnp.asarray(gmask.astype(np.float64), dtype),
+        gg_tgt=jnp.asarray(gg_tgt), gg_fac=jnp.asarray(gg_fac, dtype),
+        gg_ceidx=jnp.asarray(gg_ceidx),
+        gamma_idx=jnp.asarray(gamma_l2g),
+        ig_src=jnp.asarray(ig_src), ig_tgt=jnp.asarray(ig_tgt),
+        gamma_cnt_f=jnp.asarray(gamma_cnt, dtype),
+        g2g=jnp.asarray(np.maximum(gammad_to_gamma, 0)),
+        ndom=ndom, nI=nI, nG=nG, n_gamma=n_gamma, hM=hM, wM=wM, hE=hE,
+        wE=wE, r0s=r0s, c0s=c0s, band_cols=band_cols)
+    return epart, part, plan
+
+
+def _node_owner(nnode, is_dir, on_gamma, interior_g2l, interior_l2g):
+    owner = np.full(nnode, -3, np.int32)
+    owner[is_dir] = -2
+    owner[on_gamma] = -1
+    for d in range(interior_l2g.shape[0]):
+        nodes = interior_l2g[d]
+        owner[nodes[nodes >= 0]] = d
+    return owner
+
+
+@jax.jit
+def assemble_dd_values_stencil(plan: DDStencilPlan, coeff_nodes):
+    """Per-realization refill of the batched DD blocks, gather-free except
+    the small Γ-Γ scatter. Same contract as fem.dd.assemble_dd_values."""
+    ndom, nI, nG = plan.ndom, plan.nI, plan.nG
+    hM, wM, hE, wE = plan.hM, plan.wM, plan.hE, plan.wE
+    nE = hE * wE
+    H = plan.splan.H
+
+    planes, b = stencil_assemble(plan.splan, coeff_nodes)   # (9,H,W), (n,)
+    dt = planes.dtype
+    P = jnp.pad(planes, ((0, 0), (0, hE), (0, wE)))
+
+    # per-tile extended sub-planes (static slices; offsets are plan constants)
+    subs = jnp.stack([
+        jax.lax.slice(P, (0, r0, c0), (9, r0 + hE, c0 + wE))
+        for r0, c0 in zip(plan.r0s, plan.c0s)])          # (ndom, 9, hE, wE)
+    v = (subs * plan.edge_mask[None]).reshape(ndom, 9, nE)
+
+    # band table -> dense extended operator via the strided-flatten trick
+    B = jnp.zeros((ndom, nE, 2 * wE + 3), dt)
+    for k, col in enumerate(plan.band_cols):
+        B = B.at[:, :, col].set(v[:, k])
+    C = jnp.pad(B, ((0, 0), (0, 0), (0, nE + 1 - (2 * wE + 3))))
+    flat = C.reshape(ndom, nE * (nE + 1))
+    A_ee = jax.lax.slice(flat, (0, wE + 1),
+                         (ndom, wE + 1 + nE * nE)).reshape(ndom, nE, nE)
+    A4 = A_ee.reshape(ndom, hE, wE, hE, wE)
+
+    Aq = A4[:, 1:1 + hM, 1:1 + wM]                       # (ndom,hM,wM,hE,wE)
+    A_II = Aq[:, :, :, 1:1 + hM, 1:1 + wM].reshape(ndom, nI, nI)
+    top = Aq[:, :, :, 0, :].reshape(ndom, nI, wE)
+    left = Aq[:, :, :, 1:1 + hM, 0].reshape(ndom, nI, hM)
+    Aqf = Aq.reshape(ndom, nI, nE)
+    bottom = jax.vmap(
+        lambda Md, h: jax.lax.dynamic_slice_in_dim(Md, (h + 1) * wE, wE, 1)
+    )(Aqf, plan.h_arr).reshape(ndom, nI, wE)
+    Aqr = Aq[:, :, :, 1:1 + hM, :].reshape(ndom, nI, hM, wE)
+    right = jax.vmap(
+        lambda Md, w: jax.lax.dynamic_slice_in_dim(Md, w + 1, 1, 2)
+    )(Aqr, plan.w_arr).reshape(ndom, nI, hM)
+    A_IG = jnp.concatenate([top, bottom, left, right], axis=-1)
+
+    # Γ-Γ blocks: per-element routing (the only scatter; ~ring-sized)
+    ce = _coeff_element_planes(plan.splan, coeff_nodes).reshape(-1)
+    vals = ce[plan.gg_ceidx] * plan.gg_fac
+    A_GGd = jnp.zeros((ndom * nG * nG,), dt).at[plan.gg_tgt].add(
+        vals).reshape(ndom, nG, nG)
+
+    # RHS: interior rectangles are static slices of the assembled b grid
+    b2 = jnp.pad(b.reshape(H, H), ((0, hE), (0, wE)))
+    b_I = jnp.stack([
+        jax.lax.slice(b2, (r0 + 1, c0 + 1), (r0 + 1 + hM, c0 + 1 + wM))
+        for r0, c0 in zip(plan.r0s, plan.c0s)]).reshape(ndom, nI) * plan.imask
+    b_G = b[plan.gamma_idx]
+    return A_II, A_IG, A_GGd, b_I, b_G
+
+
+@jax.jit
+def condense_dd_stencil(plan: DDStencilPlan, coeff_nodes):
+    """One-shot realization condensation on the block-tridiagonal fast path:
+    coefficient field -> (SchurOperatorBT, b_schur, b_I) with zero large
+    scatters/gathers. The dense (ndom, nI, nI) interior blocks and their
+    O(nI³) batched Cholesky never exist — interiors in grid order are block-
+    tridiagonal (wM×wM blocks over hM grid rows), factored by one scan of
+    batched MXU steps (fem.schur.bt_factor_batched). A_IΓ is a ring-sized
+    gather+scatter (~6(hM+wM) entries per dom vs the general path's ~9·nel
+    flat scatter)."""
+    from .schur import SchurOperatorBT, bt_factor_batched, get_schur_rhs
+    ndom, nI, nG = plan.ndom, plan.nI, plan.nG
+    hM, wM, hE, wE = plan.hM, plan.wM, plan.hE, plan.wE
+    H = plan.splan.H
+
+    planes, b = stencil_assemble(plan.splan, coeff_nodes)
+    dt = planes.dtype
+    P = jnp.pad(planes, ((0, 0), (0, hE), (0, wE)))
+
+    subs = jnp.stack([
+        jax.lax.slice(P, (0, r0, c0), (9, r0 + hE, c0 + wE))
+        for r0, c0 in zip(plan.r0s, plan.c0s)])          # (ndom, 9, hE, wE)
+    vi = subs[:, :, 1:1 + hM, 1:1 + wM]                  # interior bands
+    m2 = plan.imask.reshape(ndom, hM, wM)
+
+    # block-tridiagonal interior: D (within-row), E (row -> row+1); plane
+    # order ops/stencil.OFFSETS: self,E,W,N,S,NE,SW,SE,NW
+    j = jnp.arange(wM)
+    D = jnp.zeros((ndom, hM, wM, wM), dt)
+    D = D.at[:, :, j, j].set(vi[:, 0])
+    D = D.at[:, :, j[:-1], j[:-1] + 1].set(vi[:, 1][:, :, :-1])
+    D = D.at[:, :, j[1:], j[1:] - 1].set(vi[:, 2][:, :, 1:])
+    D = D * (m2[:, :, :, None] * m2[:, :, None, :])
+    D = D.at[:, :, j, j].add(1.0 - m2)                   # identity padding
+    E = jnp.zeros((ndom, hM, wM, wM), dt)
+    E = E.at[:, :, j, j].set(vi[:, 3])
+    E = E.at[:, :, j[:-1], j[:-1] + 1].set(vi[:, 5][:, :, :-1])
+    E = E.at[:, :, j[1:], j[1:] - 1].set(vi[:, 7][:, :, 1:])
+    m2n = jnp.concatenate([m2[:, 1:], jnp.zeros_like(m2[:, :1])], axis=1)
+    E = E * (m2[:, :, :, None] * m2n[:, :, None, :])
+    Linv, G = bt_factor_batched(D, E)
+
+    # A_IΓ: ring-adjacent couplings only
+    A_IG = jnp.zeros((ndom * nI * nG,), dt).at[plan.ig_tgt].add(
+        P.reshape(-1)[plan.ig_src]).reshape(ndom, nI, nG)
+    A_IG = A_IG * plan.gmask[:, None, :]
+
+    # A_ΓΓd: per-element routing (small scatter)
+    ce = _coeff_element_planes(plan.splan, coeff_nodes).reshape(-1)
+    A_GGd = jnp.zeros((ndom * nG * nG,), dt).at[plan.gg_tgt].add(
+        ce[plan.gg_ceidx] * plan.gg_fac).reshape(ndom, nG, nG)
+    A_GGd = A_GGd * plan.gmask[:, :, None] * plan.gmask[:, None, :]
+
+    b2 = jnp.pad(b.reshape(H, H), ((0, hE), (0, wE)))
+    b_I = jnp.stack([
+        jax.lax.slice(b2, (r0 + 1, c0 + 1), (r0 + 1 + hM, c0 + 1 + wM))
+        for r0, c0 in zip(plan.r0s, plan.c0s)]).reshape(ndom, nI) * plan.imask
+    b_G = b[plan.gamma_idx]
+
+    S = SchurOperatorBT(
+        Linv=Linv, G=G, A_IG=A_IG, A_GGd=A_GGd, gammad_to_gamma=plan.g2g,
+        gmask=plan.gmask, gamma_cnt=plan.gamma_cnt_f, n_gamma=plan.n_gamma)
+    b_s = get_schur_rhs(S, b_I, b_G)
+    return S, b_s, b_I

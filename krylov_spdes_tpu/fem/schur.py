@@ -56,9 +56,103 @@ class SchurOperator:
     def as_partial_op(self):
         return Partial(schur_matvec, self)
 
+    def interior_apply_inv(self, rhs):
+        return interior_solve(self.A_II_L, rhs)
+
     @property
     def shape(self):
         return (self.n_gamma, self.n_gamma)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["Linv", "G", "A_IG", "A_GGd", "gammad_to_gamma",
+                      "gmask", "gamma_cnt"],
+         meta_fields=["n_gamma"])
+@dataclasses.dataclass
+class SchurOperatorBT:
+    """Schur operator whose subdomain interiors are factored BLOCK-
+    TRIDIAGONALLY (grid-ordered interiors of structured-mesh tiles,
+    fem/dd_stencil.py): the dense (nI, nI) interior matrix and its O(nI³)
+    Cholesky never exist — factors are 2·hM blocks of (wM, wM) per dom
+    (precond/block_tridiag_chol.py engine, batched over the dom axis).
+    Same call surface as SchurOperator."""
+    Linv: jnp.ndarray            # (ndom, hM, wM, wM) inverted diag factors
+    G: jnp.ndarray               # (ndom, hM, wM, wM) coupling factors
+    A_IG: jnp.ndarray            # (ndom, nI, nG)
+    A_GGd: jnp.ndarray           # (ndom, nG, nG)
+    gammad_to_gamma: jnp.ndarray
+    gmask: jnp.ndarray
+    gamma_cnt: jnp.ndarray
+    n_gamma: int
+
+    def matvec(self, x):
+        return schur_matvec(self, x)
+
+    def __call__(self, x):
+        return schur_matvec(self, x)
+
+    def as_partial_op(self):
+        return Partial(schur_matvec, self)
+
+    def interior_apply_inv(self, rhs):
+        return bt_interior_solve(self.Linv, self.G, rhs)
+
+    @property
+    def shape(self):
+        return (self.n_gamma, self.n_gamma)
+
+
+def bt_factor_batched(D, E):
+    """Batched block-tridiagonal Cholesky over the dom axis: D, E
+    (ndom, nb, m, m) -> (Linv, G) with Linv[d, i] = L_i^{-1}. One lax.scan of
+    nb batched dense (m, m) MXU steps (cf. precond.block_tridiag_chol
+    .btc_factor; here the batch axis makes each step MXU-sized)."""
+    ndom, nb, m, _ = D.shape
+    dt = D.dtype
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=dt), (ndom, m, m))
+    Dt = D.transpose(1, 0, 2, 3)
+    Et = E.transpose(1, 0, 2, 3)
+
+    def step(C, inp):
+        D_i, E_i = inp
+        L = jnp.linalg.cholesky(D_i - C)
+        Li = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+        G = Li @ E_i
+        return jnp.einsum("dab,dac->dbc", G, G), (Li, G)
+
+    _, (Linv, G) = jax.lax.scan(step, jnp.zeros((ndom, m, m), dt), (Dt, Et))
+    return Linv.transpose(1, 0, 2, 3), G.transpose(1, 0, 2, 3)
+
+
+def bt_interior_solve(Linv, G, rhs):
+    """x = A_II^{-1} rhs through the batched block factors; rhs (ndom, nI)
+    or (ndom, nI, k) with nI = nb·m grid-ordered."""
+    squeeze = rhs.ndim == 2
+    if squeeze:
+        rhs = rhs[..., None]
+    ndom, nI, k = rhs.shape
+    nb, m = Linv.shape[1], Linv.shape[2]
+    b = rhs.reshape(ndom, nb, m, k).transpose(1, 0, 2, 3)
+    Lt = Linv.transpose(1, 0, 2, 3)
+    Gt = G.transpose(1, 0, 2, 3)
+    G_shift = jnp.concatenate([jnp.zeros_like(Gt[:1]), Gt[:-1]], axis=0)
+
+    def fwd(y_prev, inp):
+        Li, Gp, bi = inp
+        y = Li @ (bi - jnp.einsum("dab,dak->dbk", Gp, y_prev))
+        return y, y
+
+    z0 = jnp.zeros((ndom, m, k), rhs.dtype)
+    _, y = jax.lax.scan(fwd, z0, (Lt, G_shift, b))
+
+    def bwd(x_next, inp):
+        Li, Gi, yi = inp
+        x = jnp.einsum("dab,dak->dbk", Li, yi - Gi @ x_next)
+        return x, x
+
+    _, x = jax.lax.scan(bwd, z0, (Lt, Gt, y), reverse=True)
+    x = x.transpose(1, 0, 2, 3).reshape(ndom, nI, k)
+    return x[..., 0] if squeeze else x
 
 
 def factorize_interiors(A_II, imask):
@@ -101,7 +195,7 @@ def schur_matvec(S: SchurOperator, x):
     xd = x[S.gammad_to_gamma] * S.gmask                     # (ndom, nG)
     t1 = jnp.einsum("dgh,dh->dg", S.A_GGd, xd)
     v = jnp.einsum("dig,dg->di", S.A_IG, xd)                # A_IΓ x_d
-    w = interior_solve(S.A_II_L, v)                         # A_II⁻¹ ...
+    w = S.interior_apply_inv(v)                             # A_II⁻¹ ...
     t2 = jnp.einsum("dig,di->dg", S.A_IG, w)
     Sdxd = (t1 - t2) * S.gmask
     out = jnp.zeros((S.n_gamma,), x.dtype)
@@ -111,7 +205,7 @@ def schur_matvec(S: SchurOperator, x):
 @jax.jit
 def get_schur_rhs(S: SchurOperator, b_I, b_G):
     """b_schur = b_Γ − Σ_d scatter_d(A_IΓdᵀ A_IId⁻¹ b_Id)  (reference :835)."""
-    v = interior_solve(S.A_II_L, b_I)
+    v = S.interior_apply_inv(b_I)
     w = jnp.einsum("dig,di->dg", S.A_IG, v) * S.gmask
     return b_G - jnp.zeros_like(b_G).at[
         S.gammad_to_gamma.reshape(-1)].add(w.reshape(-1))
@@ -121,7 +215,7 @@ def get_schur_rhs(S: SchurOperator, b_I, b_G):
 def assemble_local_schurs(S: SchurOperator):
     """Explicit Sd = A_ΓΓd − A_IΓᵀ A_IId⁻¹ A_IΓ, batched dense (reference
     :667-695 applies the map to identity columns with inner CGs)."""
-    W = interior_solve(S.A_II_L, S.A_IG)                    # (ndom, nI, nG)
+    W = S.interior_apply_inv(S.A_IG)                        # (ndom, nI, nG)
     Sd = S.A_GGd - jnp.einsum("dig,dih->dgh", S.A_IG, W)
     return Sd * S.gmask[:, :, None] * S.gmask[:, None, :]
 
@@ -151,7 +245,7 @@ def get_subdomain_solutions(S: SchurOperator, u_gamma, b_I):
     """u_Id = A_IId⁻¹ (b_Id − A_IΓd u_Γ|_d)  (reference :1014)."""
     ud = u_gamma[S.gammad_to_gamma] * S.gmask
     rhs = b_I - jnp.einsum("dig,dg->di", S.A_IG, ud)
-    return interior_solve(S.A_II_L, rhs)
+    return S.interior_apply_inv(rhs)
 
 
 def merge_subdomain_solutions(part: DDPartition, maps, points, u_exact,
@@ -162,9 +256,9 @@ def merge_subdomain_solutions(part: DDPartition, maps, points, u_exact,
     u = np.zeros(nnode)
     u[part.gamma_l2g] = np.asarray(u_gamma)
     uI = np.asarray(u_I)
-    for d in range(part.ndom):
-        nd = int(part.n_interior[d])
-        u[part.interior_l2g[d, :nd]] = uI[d, :nd]
+    # pad slots may interleave (grid-ordered layouts): route by validity mask
+    valid = part.interior_l2g >= 0
+    u[part.interior_l2g[valid]] = uI[valid]
     dl = maps.dir_l2g
     u[dl] = u_exact(points[dl, 0], points[dl, 1])
     return u
@@ -190,12 +284,18 @@ def do_condensed_assembly(plan: DDAssemblyPlan, part: DDPartition,
 # ---------------------------------------------------------------------------
 
 def _masked_pinv(Sd, gmask):
-    """Batched SVD pseudo-inverse with rtol = √eps·σmax (reference :1181)."""
-    U, s, Vt = jnp.linalg.svd(Sd, full_matrices=False)
+    """Batched pseudo-inverse with rtol = √eps·σmax (reference :1181).
+
+    The local Schur complements are symmetric PSD, so the pinv runs on a
+    batched eigendecomposition (σ = |λ|) — much cheaper than SVD on TPU
+    (eigh maps to matmul-heavy tridiagonalization; SVD pays an extra
+    bidiagonal QR sweep)."""
+    lam, Q = jnp.linalg.eigh(Sd)
     eps = jnp.finfo(Sd.dtype).eps
-    tol = jnp.sqrt(eps) * s[:, :1]
-    sinv = jnp.where(s > tol, 1.0 / jnp.where(s > tol, s, 1.0), 0.0)
-    P = jnp.einsum("dgk,dk,dhk->dgh", jnp.swapaxes(Vt, -1, -2), sinv, U)
+    tol = jnp.sqrt(eps) * jnp.abs(lam).max(axis=-1, keepdims=True)
+    keep = lam > tol
+    linv = jnp.where(keep, 1.0 / jnp.where(keep, lam, 1.0), 0.0)
+    P = jnp.einsum("dgk,dk,dhk->dgh", Q, linv, Q)
     return P * gmask[:, :, None] * gmask[:, None, :]
 
 

@@ -1,0 +1,169 @@
+"""Parity of the gather-free stencil DD refill (fem/dd_stencil.py) against
+the general scatter path (fem/dd.py) on the SAME tiling partition — the
+resulting Schur operators, RHS, NN preconditioner, and merged solutions must
+agree to reduction-order noise (SURVEY.md §4.1 dual-path equality)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from krylov_spdes_tpu.fem.mesh import get_mesh
+from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+from krylov_spdes_tpu.fem.dd import set_subdomains, prepare_dd_assembly, \
+    assemble_dd_values
+from krylov_spdes_tpu.fem.dd_stencil import (
+    grid_partition, prepare_dd_stencil_assembly, assemble_dd_values_stencil)
+from krylov_spdes_tpu.fem.schur import (
+    prepare_schur_operator, schur_matvec, get_schur_rhs,
+    prepare_neumann_neumann_schur_precond, assemble_local_schurs)
+
+
+def fsrc(x, y):
+    return -1.0 + 0.0 * x
+
+
+def uex(x, y):
+    return 0.1 * x + 0.05 * y
+
+
+def build(nnode=900, ndom=6, seed=0, jitter=0.2):
+    mesh = get_mesh(nnode, jitter=jitter, seed=seed)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    epart, part_f, plan_f = prepare_dd_stencil_assembly(mesh, maps, fsrc,
+                                                        uex, ndom)
+    part_g = set_subdomains(mesh.cells, epart, maps, ndom)
+    plan_g = prepare_dd_assembly(mesh.cells, mesh.points, epart, part_g,
+                                 maps, fsrc, uex)
+    rng = np.random.default_rng(seed)
+    coeff = jnp.asarray(np.exp(rng.normal(size=mesh.nnode)))
+    return mesh, maps, part_f, plan_f, part_g, plan_g, coeff
+
+
+@pytest.mark.parametrize("ndom,nnode", [(6, 900), (4, 400), (9, 1200)])
+def test_stencil_dd_blocks_match_general_path(ndom, nnode):
+    mesh, maps, part_f, plan_f, part_g, plan_g, coeff = build(nnode, ndom)
+
+    # identical Γ definitions (node-based interface on the same epart)
+    np.testing.assert_array_equal(part_f.gamma_l2g, part_g.gamma_l2g)
+    np.testing.assert_array_equal(part_f.gamma_cnt, part_g.gamma_cnt)
+
+    bf = assemble_dd_values_stencil(plan_f, coeff)
+    bg = assemble_dd_values(plan_g, coeff)
+    Sf = prepare_schur_operator(plan_f, part_f, *bf[:3])
+    Sg = prepare_schur_operator(plan_g, part_g, *bg[:3])
+
+    # same operator action on the global interface
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=part_f.n_gamma))
+    np.testing.assert_allclose(schur_matvec(Sf, x), schur_matvec(Sg, x),
+                               rtol=1e-10, atol=1e-12)
+
+    # same condensed RHS
+    bsf = get_schur_rhs(Sf, bf[3], bf[4])
+    bsg = get_schur_rhs(Sg, bg[3], bg[4])
+    np.testing.assert_allclose(bsf, bsg, rtol=1e-10, atol=1e-12)
+
+    # same assembled local Schur spectra (orderings differ per dom, so
+    # compare the globally scattered quadratic form instead)
+    Mf = prepare_neumann_neumann_schur_precond(Sf)
+    Mg = prepare_neumann_neumann_schur_precond(Sg)
+    np.testing.assert_allclose(Mf(x), Mg(x), rtol=1e-8, atol=1e-10)
+
+
+def test_stencil_dd_interior_blocks_are_global_stencil_entries():
+    """A_II rows must reproduce the monolithic operator: solve the DD system
+    and compare against the global solve."""
+    from krylov_spdes_tpu.fem.assembly import (prepare_elliptic_assembly,
+                                               do_isotropic_elliptic_assembly)
+    from krylov_spdes_tpu.solvers.cg import cg
+    from krylov_spdes_tpu.fem.schur import (get_subdomain_solutions,
+                                            merge_subdomain_solutions)
+    mesh, maps, part_f, plan_f, part_g, plan_g, coeff = build(900, 6)
+    bf = assemble_dd_values_stencil(plan_f, coeff)
+    S = prepare_schur_operator(plan_f, part_f, *bf[:3])
+    b_s = get_schur_rhs(S, bf[3], bf[4])
+    M = prepare_neumann_neumann_schur_precond(S)
+    from krylov_spdes_tpu.solvers.cg import pcg
+    r = pcg(S, b_s, M=M, maxit=500)
+    u_I = get_subdomain_solutions(S, r.x, bf[3])
+    u_dd = merge_subdomain_solutions(part_f, maps, mesh.points, uex, r.x,
+                                     u_I)
+
+    asm = prepare_elliptic_assembly(mesh.cells, mesh.points, maps, fsrc, uex)
+    A, b = do_isotropic_elliptic_assembly(asm, coeff)
+    rg = cg(A, b, maxit=2000)
+    u_full = np.zeros(mesh.nnode)
+    u_full[maps.free_l2g] = np.asarray(rg.x)
+    dl = maps.dir_l2g
+    u_full[dl] = uex(mesh.points[dl, 0], mesh.points[dl, 1])
+    np.testing.assert_allclose(u_dd, u_full, rtol=1e-6, atol=1e-8)
+
+
+def test_grid_partition_contiguous_balanced():
+    mesh = get_mesh(1600, jitter=0.2, seed=3)
+    epart, tg = grid_partition(mesh, 12)
+    counts = np.bincount(epart, minlength=12)
+    assert counts.min() > 0
+    assert counts.max() - counts.min() <= 2 * (tg["m"] + 1)
+    # contiguity: every tile's elements form one cell rectangle
+    m = tg["m"]
+    for d in range(12):
+        cells_d = np.nonzero(epart == d)[0] // 2
+        ci, cj = cells_d // m, cells_d % m
+        assert (ci.max() - ci.min() + 1) * (cj.max() - cj.min() + 1) \
+            == len(np.unique(cells_d))
+
+
+@pytest.mark.parametrize("ndom,nnode", [(6, 900), (9, 1200)])
+def test_block_tridiag_condense_matches_dense_path(ndom, nnode):
+    """condense_dd_stencil (block-tridiagonal interiors, ring-sized A_IΓ
+    gather) must produce the same Schur operator and condensed RHS as the
+    dense-block path."""
+    from krylov_spdes_tpu.fem.dd_stencil import condense_dd_stencil
+    mesh, maps, part_f, plan_f, part_g, plan_g, coeff = build(nnode, ndom)
+    S_bt, bs_bt, bI_bt = condense_dd_stencil(plan_f, coeff)
+
+    bf = assemble_dd_values_stencil(plan_f, coeff)
+    S_d = prepare_schur_operator(plan_f, part_f, *bf[:3])
+    bs_d = get_schur_rhs(S_d, bf[3], bf[4])
+
+    np.testing.assert_allclose(np.asarray(bI_bt), np.asarray(bf[3]),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(bs_bt, bs_d, rtol=1e-9, atol=1e-11)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=part_f.n_gamma))
+    np.testing.assert_allclose(schur_matvec(S_bt, x), schur_matvec(S_d, x),
+                               rtol=1e-9, atol=1e-11)
+    Sd_bt = assemble_local_schurs(S_bt)
+    Sd_d = assemble_local_schurs(S_d)
+    np.testing.assert_allclose(np.asarray(Sd_bt), np.asarray(Sd_d),
+                               rtol=1e-8, atol=1e-10)
+    Mb = prepare_neumann_neumann_schur_precond(S_bt, Sd=Sd_bt)
+    Md = prepare_neumann_neumann_schur_precond(S_d, Sd=Sd_d)
+    np.testing.assert_allclose(Mb(x), Md(x), rtol=1e-8, atol=1e-10)
+
+    # interior back-substitution agrees too
+    from krylov_spdes_tpu.fem.schur import get_subdomain_solutions
+    uI_bt = get_subdomain_solutions(S_bt, x, bI_bt)
+    uI_d = get_subdomain_solutions(S_d, x, bf[3])
+    np.testing.assert_allclose(np.asarray(uI_bt), np.asarray(uI_d),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_dd_stencil_chain_step_runs():
+    """The flagship DD chain step accepts the stencil plan."""
+    from krylov_spdes_tpu.dd_chains import (make_dd_chain_step, seed_dd_chain)
+    from krylov_spdes_tpu.chains import prepare_chain_states
+    import dataclasses as dc
+    mesh, maps, part_f, plan_f, part_g, plan_g, coeff = build(900, 6)
+    xs, ys = mesh.points[:, 0], mesh.points[:, 1]
+    psi = np.stack([np.sin(np.pi * a * xs) * np.sin(np.pi * b * ys)
+                    for a in (1, 2) for b in (1, 2)], 1)
+    lam = np.array([0.5, 0.25, 0.25, 0.12])
+    st = prepare_chain_states(lam, psi, nchains=1)
+    st = dc.replace(st, xi=st.xi[0], g=st.g[0], key=st.key[0])
+    W, it0, _ = seed_dd_chain(plan_f, part_f, st, nvec=4, spdim=13, maxit=400)
+    step = make_dd_chain_step(plan_f, part_f, nvec=4, spdim=13, maxit=400)
+    st, W, it, cnt = step(st, W)
+    assert int(it) > 0 and int(it) <= 400
+    assert np.isfinite(np.asarray(W)).all()
