@@ -106,12 +106,34 @@ def main():
 
     nnz_per_s = nnz * iters / dt
 
-    baseline = float(os.environ.get("BENCH_BASELINE", nnz_per_s))
+    # Certified reference tolerance (cg.jl:33-35's 1e-7): iteratively-refined
+    # PCG with df32 residual evaluation — the production 1e-7 path on f32
+    # hardware (solvers/refine.py). Skipped on f64 backends (plain CG already
+    # certifies there).
+    cert_res, cert_its, cert_ref = -1.0, -1, -1
+    if St.planes.dtype == jnp.float32:
+        from jax.tree_util import Partial
+        from krylov_spdes_tpu.solvers.refine import refined_pcg
+        dinv = jnp.asarray(1.0 / np.asarray(St.diagonal()))
+        M = Partial(lambda d, r: d * r, dinv)
+        rr = refined_pcg(St, b_full, M=M, rtol=1e-7, inner_rtol=1e-5,
+                         inner_maxit=maxit)
+        cert_res = float(rr.res_norm[0] / jnp.linalg.norm(b_full))
+        cert_its, cert_ref = int(rr.it), int(rr.refines)
+
+    # round-1 recorded value (267.5 Gnnz/s on the tunneled v5e chip) pins
+    # vs_baseline so cross-round drift is visible
+    baseline = float(os.environ.get("BENCH_BASELINE", 267.5e9))
     print(json.dumps({
         "metric": "cg_spmv_throughput",
         "value": round(nnz_per_s / 1e9, 4),
         "unit": "Gnnz/s",
         "vs_baseline": round(nnz_per_s / baseline, 4),
+        "certified_relres_1e-7": (round(cert_res, 10) if cert_res >= 0
+                                  else None),
+        "certified_iters": cert_its,
+        "refine_sweeps": cert_ref,
+        "path": path,
     }))
 
 

@@ -1,17 +1,25 @@
 """Example05: DISTRIBUTED two-level KL over a device mesh.
 
 Mirrors /root/reference/Example05_KarhunenLoevePllDomainDecomposition.jl:45-57
-(pll_compute_kl with dynamic scheduling over SSH workers). TPU-native: the
-local eigensolves and the reduced-covariance pair tiles are batched arrays
-whose leading axis is sharded over the device mesh — XLA schedules them in
-parallel; no master-worker scheduler is needed (SURVEY.md §2.2 P3).
+(pll_compute_kl with dynamic scheduling over SSH workers; validated config
+nnode=320_000 / ndom=80, Example05:31-34). TPU-native: after a light host
+pass that builds integer tables, every numeric stage runs on device
+(kl/dd_device.py) — local eigensolves as one lax.scan of batched generalized
+eighs, reduced-covariance pair tiles shard_mapped over the mesh 'dom' axis
+with ONE psum (the `dynamic_mapreduce!` analogue); no master-worker
+scheduler is needed (SURVEY.md §2.2 P3).
 
 Run with a virtual mesh on CPU:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 \
   python ex05_kl_dd_distributed.py --cpu --ndom 16
+
+Reference scale point (320k DoF / 80 dom):
+  python ex05_kl_dd_distributed.py --nnode 320000 --ndom 80 --nev 50
 """
 
 from common import base_parser, init_backend, build_fem, save_npz
+
+import time
 
 import numpy as np
 
@@ -20,12 +28,18 @@ def main():
     p = base_parser(__doc__)
     p.add_argument("--nev", type=int, default=30)
     p.add_argument("--forget", type=float, default=1e-6)
+    p.add_argument("--relative-local", type=float, default=0.99)
+    p.add_argument("--relative-global", type=float, default=0.99)
+    p.add_argument("--dom-chunk", type=int, default=None)
+    p.add_argument("--pair-chunk", type=int, default=64)
+    p.add_argument("--host-pipeline", action="store_true",
+                   help="legacy host two-level pipeline (kl/dd.py) instead "
+                        "of the device-resident one")
     args = p.parse_args()
     jax = init_backend(args)
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     from krylov_spdes_tpu.fem.partition import mesh_partition
     from krylov_spdes_tpu.kl.covariance import make_cov
-    from krylov_spdes_tpu.kl import dd as kldd
 
     mesh, maps, asm = build_fem(args)
     cov = make_cov(args.model, args.sig2, args.L)
@@ -34,23 +48,39 @@ def main():
     ndom = ((args.ndom + ndev - 1) // ndev) * ndev
     epart, _ = mesh_partition(mesh.cells, mesh.points, ndom,
                               mesh.cell_neighbors)
-
-    sub = kldd.set_kl_subdomains(mesh.cells, mesh.points, epart, ndom)
     dev_mesh = Mesh(np.asarray(jax.devices()), axis_names=("dom",))
-    dom_sharding = NamedSharding(dev_mesh, P("dom"))
-    # shard the batched local mass matrices (the dominant setup data)
-    sub.M_local = jax.device_put(sub.M_local, dom_sharding)
-    print(f"{ndom} subdomains sharded over {ndev} devices")
+    print(f"{ndom} subdomains over {ndev} device(s); nnode={mesh.nnode}")
 
-    lam_d, phi_d, m_d, energy = kldd.solve_local_kls(
-        sub, mesh.points, cov, args.nev, verbose=False)
-    print(f"local solves done; m_d in [{m_d.min()}, {m_d.max()}]")
-    K = kldd.assemble_reduced_covariance(sub, mesh.points, cov, phi_d,
-                                         forget=args.forget)
-    lam, psi = kldd.solve_global_reduced_kl(mesh.nnode, K, energy, sub,
-                                            phi_d, verbose=True)
-    print(f"distributed two-level KL: {len(lam)} global modes")
-    save_npz(args, f"ndom{ndom}.ex05.kl-dd-pll", lam=lam, psi=psi)
+    t0 = time.time()
+    if args.host_pipeline:
+        from krylov_spdes_tpu.kl import dd as kldd
+        sub = kldd.set_kl_subdomains(mesh.cells, mesh.points, epart, ndom)
+        sub.M_local = jax.device_put(
+            sub.M_local, NamedSharding(dev_mesh, P("dom")))
+        lam_d, phi_d, m_d, energy = kldd.solve_local_kls(
+            sub, mesh.points, cov, args.nev,
+            relative=args.relative_local, verbose=False)
+        print(f"local solves done; m_d in [{m_d.min()}, {m_d.max()}]")
+        K = kldd.assemble_reduced_covariance(sub, mesh.points, cov, phi_d,
+                                             forget=args.forget)
+        lam, psi = kldd.solve_global_reduced_kl(
+            mesh.nnode, K, energy, sub, phi_d,
+            relative=args.relative_global, verbose=True)
+    else:
+        from krylov_spdes_tpu.kl.dd_device import compute_dd_kl_device
+        lam, psi = compute_dd_kl_device(
+            mesh.cells, mesh.points, epart, ndom, cov, nev=args.nev,
+            relative_local=args.relative_local,
+            relative_global=args.relative_global, forget=args.forget,
+            dom_chunk=args.dom_chunk, pair_chunk=args.pair_chunk,
+            mesh=dev_mesh, verbose=True)
+    wall = time.time() - t0
+    captured = float(np.sum(lam)) / (args.sig2 * 1.0)  # unit-square area
+    print(f"distributed two-level KL: {len(lam)} global modes, "
+          f"captured variance {captured:.4f}, wall {wall:.1f}s "
+          f"({'host' if args.host_pipeline else 'device'} pipeline)")
+    save_npz(args, f"ndom{ndom}.ex05.kl-dd-pll", lam=lam, psi=psi,
+             wall=np.float64(wall), captured=np.float64(captured))
 
 
 if __name__ == "__main__":

@@ -24,6 +24,12 @@ def main():
     p.add_argument("--save-spectra", action="store_true",
                    help="record full preconditioned spectra — dense, "
                         "study-sized only (Example06:215-241)")
+    p.add_argument("--certify", action="store_true",
+                   help="solve to the CERTIFIED reference tolerance "
+                        "(1e-7, cg.jl:33-35) via df32 iterative refinement "
+                        "(solvers/refine.py) — stencil-op strategies (samg) "
+                        "on f32 backends; recorded iters are total inner "
+                        "iterations")
     args = p.parse_args()
     jax = init_backend(args)
     import jax.numpy as jnp
@@ -81,6 +87,25 @@ def main():
         if args.save_conditioning else None
     spectra = [] if args.save_spectra else None
 
+    if args.certify:
+        from krylov_spdes_tpu.solvers.refine import refined_pcg
+        certres = {f"{s}_{mode}": np.zeros(args.nreals)
+                   for s in strategies if s == "samg"
+                   for mode in ("const", "rebuilt")}
+
+        def solve(Ak, bk, M, key, ireal):
+            if key in certres:
+                r = refined_pcg(Ak, bk, M=M, rtol=1e-7)
+                certres[key][ireal] = float(
+                    r.res_norm[0] / jnp.linalg.norm(bk))
+                return r
+            return pcg(Ak, bk, M=M)
+    else:
+        certres = {}
+
+        def solve(Ak, bk, M, key, ireal):
+            return pcg(Ak, bk, M=M)
+
     for ireal in range(args.nreals):
         smp, _ = draw(smp)
         coeff = np.exp(np.asarray(smp.g))
@@ -91,9 +116,10 @@ def main():
                 bk = to_full_vector(maps, jnp.asarray(b), mesh.nnode)
             else:
                 Ak, bk = A, b
-            r = pcg(Ak, bk, M=const_preconds[s])
+            r = solve(Ak, bk, const_preconds[s], f"{s}_const", ireal)
             iters[f"{s}_const"][ireal] = int(r.it)
-            r = pcg(Ak, bk, M=build_precond(s, A, coeff))
+            r = solve(Ak, bk, build_precond(s, A, coeff), f"{s}_rebuilt",
+                      ireal)
             iters[f"{s}_rebuilt"][ireal] = int(r.it)
             if kappas is not None:
                 from krylov_spdes_tpu.utils.diagnostics import \
@@ -110,8 +136,12 @@ def main():
             for s in strategies), flush=True)
         if (ireal + 1) % 20 == 0 or ireal == args.nreals - 1:
             # periodic checkpoint of the regression surface (deviation #11)
+            cext = ({f"certres_{k}": v for k, v in certres.items()}
+                    if certres else {})
+            if certres:
+                cext["certified_rtol"] = np.float64(1e-7)
             save_npz(args, f"ndom{args.ndom}.ex06.iters",
-                     ndone=np.int64(ireal + 1), **iters)
+                     ndone=np.int64(ireal + 1), **iters, **cext)
 
     for k, v in iters.items():
         print(f"{k}: mean {v.mean():.1f} ± {v.std():.1f}")
@@ -120,6 +150,11 @@ def main():
         extra.update({f"kappa_{s}": kappas[s] for s in strategies})
     if spectra is not None:
         extra["spectra"] = np.stack(spectra)
+    if certres:
+        extra.update({f"certres_{k}": v for k, v in certres.items()})
+        extra["certified_rtol"] = np.float64(1e-7)
+        for k, v in certres.items():
+            print(f"certified relres {k}: max {v.max():.2e}")
     save_npz(args, f"ndom{args.ndom}.ex06.iters", **iters, **extra)
 
 

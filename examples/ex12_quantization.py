@@ -6,7 +6,8 @@ over N(0,I) samples under L2/L2-10%/cdf metrics, one preconditioner per
 centroid, solves with the nearest-centroid preconditioner.
 """
 
-from common import base_parser, init_backend, build_fem, build_kl, save_npz
+from common import (base_parser, init_backend, build_fem, build_kl,
+                    save_npz, add_factor_flag, cholesky_factory)
 
 import numpy as np
 
@@ -17,6 +18,7 @@ def main():
     p.add_argument("--nsamples", type=int, default=2000)
     p.add_argument("--distance", default="L2-full",
                    choices=["L2-full", "L2-10%", "cdf"])
+    add_factor_flag(p)
     args = p.parse_args()
     jax = init_backend(args)
     import jax.numpy as jnp
@@ -25,11 +27,11 @@ def main():
     from krylov_spdes_tpu.quantization.quantizers import get_quantizer
     from krylov_spdes_tpu.quantization.precond_bank import (
         build_centroidal_preconds, select_nearest)
-    from krylov_spdes_tpu.precond.cholesky import get_cholesky32
     from krylov_spdes_tpu.samplers.samplers import prepare_mc_sampler, draw
     from krylov_spdes_tpu.solvers.cg import pcg
 
     mesh, maps, asm = build_fem(args)
+    get_cholesky = cholesky_factory(args, mesh=mesh, maps=maps)
     cov, M, lam, psi = build_kl(args, mesh)
 
     X, centroids, assignments, costs = get_quantizer(
@@ -41,7 +43,7 @@ def main():
         return A
 
     bank = build_centroidal_preconds(np.asarray(centroids), lam, psi,
-                                     assemble, get_cholesky32)
+                                     assemble, get_cholesky)
     smp = prepare_mc_sampler(lam, psi, key=args.seed)
     iters = np.zeros(args.nreals, dtype=np.int64)
     dists = np.zeros(args.nreals)

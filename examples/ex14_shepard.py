@@ -5,7 +5,8 @@ Functions.jl:18-327: inverse-distance-weighted combination of centroidal
 preconditioners vs nearest-centroid selection.
 """
 
-from common import base_parser, init_backend, build_fem, build_kl, save_npz
+from common import (base_parser, init_backend, build_fem, build_kl,
+                    save_npz, add_factor_flag, cholesky_factory)
 
 import numpy as np
 
@@ -13,6 +14,7 @@ import numpy as np
 def main():
     p = base_parser(__doc__)
     p.add_argument("--P", type=int, default=6)
+    add_factor_flag(p)
     args = p.parse_args()
     jax = init_backend(args)
     import jax.numpy as jnp
@@ -21,11 +23,11 @@ def main():
     from krylov_spdes_tpu.quantization.precond_bank import (
         build_centroidal_preconds, select_nearest,
         shepard_interpolating_precond)
-    from krylov_spdes_tpu.precond.cholesky import get_cholesky32
     from krylov_spdes_tpu.samplers.samplers import prepare_mc_sampler, draw
     from krylov_spdes_tpu.solvers.cg import pcg
 
     mesh, maps, asm = build_fem(args)
+    get_cholesky = cholesky_factory(args, mesh=mesh, maps=maps)
     cov, M, lam, psi = build_kl(args, mesh)
     X, centroids, _, _ = get_quantizer(1500, args.P, lam)
 
@@ -34,7 +36,7 @@ def main():
         return A
 
     bank = build_centroidal_preconds(np.asarray(centroids), lam, psi,
-                                     assemble, get_cholesky32)
+                                     assemble, get_cholesky)
     smp = prepare_mc_sampler(lam, psi, key=args.seed)
     it_near = np.zeros(args.nreals, dtype=np.int64)
     it_shep = np.zeros(args.nreals, dtype=np.int64)

@@ -4,7 +4,8 @@ modes, k = 1..nKL.
 Mirrors /root/reference/Example19_TruncatedPreconditioners.jl:70-114.
 """
 
-from common import base_parser, init_backend, build_fem, build_kl, save_npz
+from common import (base_parser, init_backend, build_fem, build_kl,
+                    save_npz, add_factor_flag, cholesky_factory)
 
 import numpy as np
 
@@ -12,17 +13,18 @@ import numpy as np
 def main():
     p = base_parser(__doc__)
     p.add_argument("--ks", default="0,1,2,4,8,16")
+    add_factor_flag(p)
     args = p.parse_args()
     init_backend(args)
     import jax.numpy as jnp
     from krylov_spdes_tpu.fem.assembly import do_isotropic_elliptic_assembly
     from krylov_spdes_tpu.quantization.precond_bank import truncated_kl_precond
-    from krylov_spdes_tpu.precond.cholesky import get_cholesky32
     from krylov_spdes_tpu.precond.amg import amg_precond
     from krylov_spdes_tpu.samplers.samplers import prepare_mc_sampler, draw
     from krylov_spdes_tpu.solvers.cg import pcg
 
     mesh, maps, asm = build_fem(args)
+    get_chol = cholesky_factory(args, mesh=mesh, maps=maps)
     cov, M, lam, psi = build_kl(args, mesh)
     smp = prepare_mc_sampler(lam, psi, key=args.seed)
     smp, _ = draw(smp)
@@ -35,7 +37,7 @@ def main():
     ks = [k for k in map(int, args.ks.split(",")) if k <= len(lam)]
     its_chol, its_amg = [], []
     for k in ks:
-        Mc = truncated_kl_precond(lam, psi, k, assemble, get_cholesky32,
+        Mc = truncated_kl_precond(lam, psi, k, assemble, get_chol,
                                   xi=np.asarray(smp.xi))
         Ma = truncated_kl_precond(lam, psi, k, assemble, amg_precond,
                                   xi=np.asarray(smp.xi))

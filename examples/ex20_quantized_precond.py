@@ -7,7 +7,8 @@ nearest quantized preconditioner (reference uses Threads; here the bank is
 device-resident and realizations stream through one jit).
 """
 
-from common import base_parser, init_backend, build_fem, build_kl, save_npz
+from common import (base_parser, init_backend, build_fem, build_kl,
+                    save_npz, add_factor_flag, cholesky_factory)
 
 import numpy as np
 
@@ -19,6 +20,7 @@ def main():
     p.add_argument("--codebook", default="kmeans",
                    choices=["kmeans", "cdf", "grid"])
     p.add_argument("--grid-s", type=float, default=1.0)
+    add_factor_flag(p)
     args = p.parse_args()
     init_backend(args)
     import jax.numpy as jnp
@@ -27,11 +29,11 @@ def main():
         get_quantizer, deterministic_grid)
     from krylov_spdes_tpu.quantization.precond_bank import (
         build_centroidal_preconds, select_nearest)
-    from krylov_spdes_tpu.precond.cholesky import get_cholesky32
     from krylov_spdes_tpu.samplers.samplers import prepare_mc_sampler, draw
     from krylov_spdes_tpu.solvers.cg import pcg
 
     mesh, maps, asm = build_fem(args)
+    get_cholesky = cholesky_factory(args, mesh=mesh, maps=maps)
     cov, M, lam, psi = build_kl(args, mesh)
     k = min(args.nKL_trunc, len(lam))
 
@@ -51,7 +53,7 @@ def main():
         return A
 
     bank = build_centroidal_preconds(full_cb, lam, psi, assemble,
-                                     get_cholesky32)
+                                     get_cholesky)
     smp = prepare_mc_sampler(lam, psi, key=args.seed)
     iters = np.zeros(args.nreals, dtype=np.int64)
     for s in range(args.nreals):

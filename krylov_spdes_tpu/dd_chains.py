@@ -43,7 +43,8 @@ from .fem.dd import DDAssemblyPlan, DDPartition, assemble_dd_values
 from .fem.schur import (SchurOperator, prepare_schur_operator, get_schur_rhs,
                         prepare_neumann_neumann_schur_precond,
                         assemble_local_schurs, assembled_schur_operator,
-                        factorize_interiors, interior_solve, _masked_pinv)
+                        factorize_interiors, interior_solve, _masked_pinv,
+                        f32_exact)
 from .samplers.samplers import SamplerState, _draw_mcmc, _draw_mc
 from .solvers.base import as_precond_op, static_bind
 from .solvers.defcg import _eigdef_impl
@@ -369,6 +370,7 @@ def _local_assemble(sp: ShardedDDPlan, coeff_e, axis):
     return A_II, A_IG, A_GGd, b_I, b_G
 
 
+@f32_exact
 def _schur_mv_psum(n_gamma, axis, L, A_IG, A_GGd, g2g, gmask, x):
     """Local Schur matvec + psum halo exchange (the sharded S x),
     matrix-free flavor (per-matvec interior solves)."""
@@ -383,6 +385,7 @@ def _schur_mv_psum(n_gamma, axis, L, A_IG, A_GGd, g2g, gmask, x):
     return jax.lax.psum(part, axis)
 
 
+@f32_exact
 def _schur_mv_assembled_psum(n_gamma, axis, Sd, g2g, gmask, x):
     """Assembled local-Schur matvec + psum halo exchange: one batched
     (dpl, nG, nG) einsum per S x (the chain-solver hot path)."""
@@ -393,6 +396,7 @@ def _schur_mv_assembled_psum(n_gamma, axis, Sd, g2g, gmask, x):
     return jax.lax.psum(part, axis)
 
 
+@f32_exact
 def _nn_psum(n_gamma, axis, PiSd, g2g, gmask, cnt_inv, r):
     """Local NN apply + psum (multiplicity-weighted scatter/gather)."""
     rd = (r * cnt_inv)[g2g] * gmask
@@ -402,6 +406,7 @@ def _nn_psum(n_gamma, axis, PiSd, g2g, gmask, cnt_inv, r):
     return jax.lax.psum(z, axis) * cnt_inv
 
 
+@f32_exact
 def _local_condense(sp: ShardedDDPlan, coeff, axis):
     """coeff -> (A operator, M preconditioner, b_schur) with the dom axis
     local and every Γ reduction an explicit psum over `axis`."""

@@ -22,7 +22,7 @@ the Neumann-Neumann preconditioner (:1111-1403):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import partial, wraps
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,21 @@ import numpy as np
 from jax.tree_util import Partial
 
 from .dd import DDAssemblyPlan, DDPartition
+
+
+def f32_exact(fn):
+    """TPU matmuls default to bf16 passes; the DD condensation contracts over
+    nI ~ thousands of interior nodes, so at DEFAULT precision the Schur
+    blocks / NN pinv carry ~1e-3 relative error and chip f32 solves stall at
+    maxit instead of reaching the 1e-5 floor (measured at 65k/32dom). Force
+    HIGHEST (6-pass, f32-exact) for all DD algebra — these contractions are
+    tiny next to the solve loop, so the extra passes are noise. No-op on
+    CPU/f64."""
+    @wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **k)
+    return wrapped
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -102,6 +117,7 @@ class SchurOperatorBT:
         return (self.n_gamma, self.n_gamma)
 
 
+@f32_exact
 def bt_factor_batched(D, E):
     """Batched block-tridiagonal Cholesky over the dom axis: D, E
     (ndom, nb, m, m) -> (Linv, G) with Linv[d, i] = L_i^{-1}. One lax.scan of
@@ -124,6 +140,7 @@ def bt_factor_batched(D, E):
     return Linv.transpose(1, 0, 2, 3), G.transpose(1, 0, 2, 3)
 
 
+@f32_exact
 def bt_interior_solve(Linv, G, rhs):
     """x = A_II^{-1} rhs through the batched block factors; rhs (ndom, nI)
     or (ndom, nI, k) with nI = nb·m grid-ordered."""
@@ -164,6 +181,7 @@ def factorize_interiors(A_II, imask):
     return jnp.linalg.cholesky(A)
 
 
+@f32_exact
 def interior_solve(L, rhs):
     """Batched A_II⁻¹ rhs via the Cholesky factors; rhs (ndom, nI) or
     (ndom, nI, k)."""
@@ -190,6 +208,7 @@ def prepare_schur_operator(plan: DDAssemblyPlan, part: DDPartition, A_II,
 
 
 @jax.jit
+@f32_exact
 def schur_matvec(S: SchurOperator, x):
     """S x = Σ_d scatter_d( A_ΓΓd x_d − A_IΓdᵀ A_IId⁻¹ A_IΓd x_d )."""
     xd = x[S.gammad_to_gamma] * S.gmask                     # (ndom, nG)
@@ -203,6 +222,7 @@ def schur_matvec(S: SchurOperator, x):
 
 
 @jax.jit
+@f32_exact
 def get_schur_rhs(S: SchurOperator, b_I, b_G):
     """b_schur = b_Γ − Σ_d scatter_d(A_IΓdᵀ A_IId⁻¹ b_Id)  (reference :835)."""
     v = S.interior_apply_inv(b_I)
@@ -212,6 +232,7 @@ def get_schur_rhs(S: SchurOperator, b_I, b_G):
 
 
 @jax.jit
+@f32_exact
 def assemble_local_schurs(S: SchurOperator):
     """Explicit Sd = A_ΓΓd − A_IΓᵀ A_IId⁻¹ A_IΓ, batched dense (reference
     :667-695 applies the map to identity columns with inner CGs)."""
@@ -220,6 +241,7 @@ def assemble_local_schurs(S: SchurOperator):
     return Sd * S.gmask[:, :, None] * S.gmask[:, None, :]
 
 
+@f32_exact
 def _schur_matvec_assembled(n_gamma, Sd, g2g, gmask, x):
     xd = x[g2g] * gmask
     Sdxd = jnp.einsum("dgh,dh->dg", Sd, xd) * gmask
@@ -241,6 +263,7 @@ def assembled_schur_operator(S: SchurOperator, Sd=None):
 
 
 @jax.jit
+@f32_exact
 def get_subdomain_solutions(S: SchurOperator, u_gamma, b_I):
     """u_Id = A_IId⁻¹ (b_Id − A_IΓd u_Γ|_d)  (reference :1014)."""
     ud = u_gamma[S.gammad_to_gamma] * S.gmask
@@ -283,6 +306,7 @@ def do_condensed_assembly(plan: DDAssemblyPlan, part: DDPartition,
 # Neumann-Neumann preconditioner (reference :1111-1403)
 # ---------------------------------------------------------------------------
 
+@f32_exact
 def _masked_pinv(Sd, gmask):
     """Batched pseudo-inverse with rtol = √eps·σmax (reference :1181).
 
@@ -299,6 +323,7 @@ def _masked_pinv(Sd, gmask):
     return P * gmask[:, :, None] * gmask[:, None, :]
 
 
+@f32_exact
 def _nn_apply(n_gamma, PiSd, g2g, gmask, cnt_inv, r):
     rw = r * cnt_inv
     rd = rw[g2g] * gmask

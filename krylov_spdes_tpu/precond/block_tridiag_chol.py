@@ -145,6 +145,8 @@ def band_block_tridiag(A_sp, block: int | None = None):
     multiple of m with identity rows. Returns (D, E, perm, n)."""
     import scipy.sparse as sp
     from scipy.sparse.csgraph import reverse_cuthill_mckee
+    if hasattr(A_sp, "to_scipy"):     # accept the framework's SparseOp
+        A_sp = A_sp.to_scipy()
     A_sp = sp.csr_matrix(A_sp)
     n = A_sp.shape[0]
     perm = np.asarray(reverse_cuthill_mckee(A_sp, symmetric_mode=True))
