@@ -113,6 +113,40 @@ def main():
 
     t_nn = _timeit(_nn, lambda: float(jnp.sum(_M.args[0])))
 
+    # --- batched multi-chain layout (BENCH_NCHAINS > 1) ----------------------
+    nchains = int(os.environ.get("BENCH_NCHAINS", "1"))
+    if nchains > 1:
+        from krylov_spdes_tpu.dd_chains import (make_batched_dd_chain_step,
+                                                seed_dd_chains_batched)
+        with jax.default_device(cpu):
+            states = prepare_chain_states(lam, psi, nchains=nchains)
+        states = jax.device_put(states, dev)
+        W, its0 = seed_dd_chains_batched(plan, part, states, nvec, spdim,
+                                         maxit)
+        step = make_batched_dd_chain_step(plan, part, nvec=nvec, spdim=spdim,
+                                          maxit=maxit)
+        warm_its = []
+        for _ in range(4):
+            states, W, its, cnt = step(states, W)
+            warm_its.append(np.asarray(its).tolist())
+        times, its_l = [], []
+        for _ in range(5):
+            t0 = time.time()
+            states, W, its, cnt = step(states, W)
+            its_l.append(np.asarray(its).tolist())
+            times.append(time.time() - t0)
+        dt = sorted(times)[len(times) // 2] / nchains
+        baseline = float(os.environ.get("BENCH_BASELINE", dt))
+        print(json.dumps({
+            "metric": "dd_chain_time_per_realization",
+            "value": round(dt * 1e3, 1),
+            "unit": "ms",
+            "vs_baseline": round(baseline / dt, 4),
+        }))
+        print(f"# batched layout: {nchains} chains; iters/sample={its_l} "
+              f"(warmup {warm_its}) seed_its={np.asarray(its0).tolist()}")
+        return
+
     # --- full chain step ------------------------------------------------------
     step = make_dd_chain_step(plan, part, nvec=nvec, spdim=spdim, maxit=maxit)
     W, it0, _ = seed_dd_chain(plan, part, state, nvec, spdim, maxit)

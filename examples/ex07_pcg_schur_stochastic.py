@@ -13,7 +13,12 @@ import numpy as np
 
 
 def main():
-    args = base_parser(__doc__).parse_args()
+    p = base_parser(__doc__)
+    p.add_argument("--resume", action="store_true",
+                   help="continue an interrupted protocol run from its "
+                        "periodic checkpoint (ndone marker): completed "
+                        "realizations are fast-forwarded (draws only)")
+    args = p.parse_args()
     jax = init_backend(args)
     import jax.numpy as jnp
     from jax.tree_util import Partial
@@ -48,8 +53,24 @@ def main():
 
     names = ["nn_const", "nn_rebuilt", "gamma_chol"]
     iters = {k: np.zeros(args.nreals, dtype=np.int64) for k in names}
+    start = 0
+    if args.resume:
+        import os
+        from common import root_fname
+        ckpt = os.path.join(args.data_dir,
+                            f"{root_fname(args)}.ndom{args.ndom}"
+                            ".ex07.iters.npz")
+        if os.path.exists(ckpt):
+            d = np.load(ckpt)
+            start = int(d["ndone"]) if "ndone" in d else args.nreals
+            for k in names:
+                n = min(start, len(d[k]))
+                iters[k][:n] = d[k][:n]
+            print(f"resuming from {ckpt}: {start}/{args.nreals} done")
     for ireal in range(args.nreals):
         smp, _ = draw(smp)
+        if ireal < start:     # fast-forward the sampler through done reals
+            continue
         coeff = jnp.exp(smp.g)
         A_II, A_IG, A_GGd, b_I, b_G = assemble_dd_values(plan, coeff)
         S = prepare_schur_operator(plan, part, A_II, A_IG, A_GGd)

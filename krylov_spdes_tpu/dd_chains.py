@@ -158,6 +158,104 @@ def run_dd_chains(plan: DDAssemblyPlan, part: DDPartition, states_list,
 
 
 # ---------------------------------------------------------------------------
+# Natively-batched multi-chain layout — the production one-chip layout
+# (chains.make_batched_chain_step's DD sibling: N chains cost ~one chain's
+# kernel-launch latency plus N× the vector work; the restart schedule stays
+# scalar across the batch, see solvers/batched.py)
+# ---------------------------------------------------------------------------
+
+def _schur_mv_assembled_b(n_gamma, Sd, g2g, gmask, x):
+    """Batched-over-chains assembled Schur matvec: Sd (B, ndom, nG, nG),
+    x (B, n_gamma)."""
+    xd = x[:, g2g] * gmask                                # (B, ndom, nG)
+    Sdxd = jnp.einsum("bdgh,bdh->bdg", Sd, xd) * gmask
+    out = jnp.zeros_like(x)
+    return out.at[:, g2g.reshape(-1)].add(Sdxd.reshape(x.shape[0], -1))
+
+
+def _nn_apply_b(n_gamma, PiSd, g2g, gmask, cnt_inv, r):
+    """Batched-over-chains NN apply: PiSd (B, ndom, nG, nG), r (B, n_gamma)."""
+    rd = (r * cnt_inv)[:, g2g] * gmask
+    zd = jnp.einsum("bdgh,bdh->bdg", PiSd, rd) * gmask
+    z = jnp.zeros_like(r).at[:, g2g.reshape(-1)].add(
+        zd.reshape(r.shape[0], -1))
+    return z * cnt_inv
+
+
+from .fem.schur import f32_exact as _f32x
+# module-stable f32-exact twins (stable identity -> solver jits cache)
+_schur_mv_assembled_b_hi = _f32x(_schur_mv_assembled_b)
+_nn_apply_b_hi = _f32x(_nn_apply_b)
+
+
+def _batched_dd_operands(plan, part, states):
+    """vmapped refill + condensation + NN pinv for a batch of realizations.
+    Returns (A, M, b_s): batched pytree callables + (B, n_gamma) RHS."""
+    from .solvers.base import static_bind
+    coeff = jnp.exp(states.g)                             # (B, nnode)
+    S, b_s, _ = jax.vmap(lambda c: dd_solve_operands(plan, part, c))(coeff)
+    Sd = jax.vmap(assemble_local_schurs)(S)               # (B, ndom, nG, nG)
+    PiSd = jax.vmap(_masked_pinv, in_axes=(0, None))(Sd, S.gmask[0])
+    gmask, g2g = S.gmask[0], S.gammad_to_gamma[0]
+    cnt_inv = 1.0 / S.gamma_cnt[0]
+    n_gamma = part.n_gamma
+    A = Partial(static_bind(_schur_mv_assembled_b_hi, n_gamma),
+                Sd, g2g, gmask)
+    M = Partial(static_bind(_nn_apply_b_hi, n_gamma),
+                PiSd, g2g, gmask, cnt_inv)
+    return A, M, b_s
+
+
+def make_batched_dd_chain_step(plan, part: DDPartition, nvec: int = 20,
+                               spdim: int = 61, maxit: int = 500,
+                               rtol: float | None = None):
+    """step(states, W) -> (states, W', its (B,), proposals (B,)) — jitted.
+
+    `states` from `chains.prepare_chain_states` (shared basis);
+    W (B, n_gamma, nvec). Per chain: Metropolis draw -> DD refill ->
+    condensation (all vmapped batched dense algebra) -> batched-NN
+    recycled eigDef-PCG with a shared scalar restart schedule."""
+    from .chains import chain_in_axes
+    from .solvers.batched import _batched_eigdef_impl
+
+    rtol = effective_rtol(plan.kflat.dtype, rtol)
+
+    @jax.jit
+    def step(states: SamplerState, W):
+        ax = chain_in_axes(states)
+        draw = _draw_mcmc if states.kind != "mc" else _draw_mc
+        states, cnt = jax.vmap(draw, in_axes=(ax,), out_axes=(ax, 0))(states)
+        A, M, b_s = _batched_dd_operands(plan, part, states)
+        x0 = jnp.zeros_like(b_s)
+        x, its, res, Wn = _batched_eigdef_impl(A, None, b_s, x0, W, nvec,
+                                               spdim, maxit, rtol, Mop=M)
+        return states, Wn, its, cnt
+
+    return step
+
+
+def seed_dd_chains_batched(plan, part: DDPartition, states: SamplerState,
+                           nvec: int, spdim: int, maxit: int = 500,
+                           rtol: float | None = None):
+    """vmapped eigPCG first solves on the interface systems (one-time
+    seeding). Returns (W (B, n_gamma, nvec), its (B,))."""
+    from .chains import chain_in_axes
+    rtol = effective_rtol(plan.kflat.dtype, rtol)
+    ax = chain_in_axes(states)
+
+    def one(s):
+        S, b_s, _ = dd_solve_operands(plan, part, jnp.exp(s.g))
+        Sd = assemble_local_schurs(S)
+        A = assembled_schur_operator(S, Sd=Sd)
+        M = prepare_neumann_neumann_schur_precond(S, Sd=Sd)
+        x, it, res, W = _eigpcg_impl(A, M, b_s, jnp.zeros_like(b_s),
+                                     nvec, spdim, maxit, rtol)
+        return W, it
+
+    return jax.jit(jax.vmap(one, in_axes=(ax,)))(states)
+
+
+# ---------------------------------------------------------------------------
 # Chain-parallel layout (P4): shard_map over the `chain` mesh axis
 # ---------------------------------------------------------------------------
 

@@ -51,16 +51,24 @@ def _csolve(cho, rhs):
 
 @partial(jax.jit, static_argnames=("nvec", "spdim", "maxit", "basis_dtype"))
 def _batched_eigdef_impl(A, mdiag, b, x0, W, nvec, spdim, maxit, rtol,
-                         basis_dtype=None):
+                         basis_dtype=None, Mop=None):
     """Batched fused-diagonal eigDef-PCG.
 
     A: (B, n) -> (B, n) batched operator (pytree callable)
-    mdiag: (B, n) preconditioner diagonal (M⁻¹ = diag(mdiag))
+    mdiag: (B, n) preconditioner diagonal (M⁻¹ = diag(mdiag)); pass a
+        general batched preconditioner (B, n) -> (B, n) via Mop instead
+        (mdiag then ignored — the DD chains' batched NN apply rides this)
     b, x0: (B, n); W: (B, n, nvec)
     Returns (x (B,n), it (B,), res (B, maxit), W' (B, n, nvec)).
     """
     Bn, n = b.shape
     dtype = b.dtype
+    if Mop is None:
+        appM = lambda v: mdiag * v
+        appM_rows = lambda R: R * mdiag[:, None, :]
+    else:
+        appM = Mop
+        appM_rows = jax.vmap(lambda v: Mop(v), in_axes=1, out_axes=1)
 
     # --- deflation setup (defcg.jl:357-372), batched ---
     WtA = jnp.swapaxes(jax.vmap(A, in_axes=2, out_axes=0)(W), 0, 1)
@@ -70,7 +78,7 @@ def _batched_eigdef_impl(A, mdiag, b, x0, W, nvec, spdim, maxit, rtol,
     x = x0 + jnp.einsum("bnk,bk->bn", W, _csolve(cho, _bdot(W.swapaxes(1, 2), r[:, None, :])))
     WtW = jnp.swapaxes(W, 1, 2) @ W
     cho_w = cho_factor(WtW)
-    WtAM = WtA * mdiag[:, None, :]
+    WtAM = appM_rows(WtA)
     K = WtAM @ W
     G = jnp.concatenate([jnp.swapaxes(W, 1, 2), WtAM], axis=1)  # (B,2nvec,n)
     # bf16 basis storage halves the dominant per-iteration HBM traffic;
@@ -83,7 +91,7 @@ def _batched_eigdef_impl(A, mdiag, b, x0, W, nvec, spdim, maxit, rtol,
 
     r = b - A(x)
     rTr = _bdot(r, r)
-    z = mdiag * r
+    z = appM(r)
     rTz = _bdot(r, z)
     mu = _csolve(cho, jnp.einsum("bkn,bn->bk", WtA, z))
     p = z - jnp.einsum("bnk,bk->bn", W, mu)
@@ -130,7 +138,7 @@ def _batched_eigdef_impl(A, mdiag, b, x0, W, nvec, spdim, maxit, rtol,
                        preferred_element_type=dtype)
         rn = rn - T[..., 0]
         rTr = _bdot(rn, rn)
-        z = mdiag * rn
+        z = appM(rn)
         rTz_new = _bdot(rn, z)
         beta = rTz_new / rTz
         pn = beta[:, None] * p + z - T[..., 1]

@@ -188,3 +188,67 @@ def test_chain_sharded_step_matches_single_device(problem):
                         key=states2.key[c])
         _, _, it, _ = step1(st, W2[c])
         assert abs(int(it) - int(its2[c])) <= 1
+
+
+def test_batched_step_matches_sequential(problem):
+    """The natively-batched multi-chain DD step (shared scalar restart
+    schedule, batched NN apply through the generalized Mop path of
+    solvers/batched.py) reproduces the per-chain sequential step."""
+    mesh, maps, part, plan, asm, lam, psi = problem
+    nvec, spdim = 6, 16
+    nchains = 3
+    states = prepare_chain_states(lam, psi, nchains, base_key=21)
+    W, its0 = dd_chains.seed_dd_chains_batched(plan, part, states, nvec,
+                                               spdim, maxit=400, rtol=1e-9)
+    assert (np.asarray(its0) > 0).all()
+    step_b = dd_chains.make_batched_dd_chain_step(plan, part, nvec=nvec,
+                                                  spdim=spdim, maxit=400,
+                                                  rtol=1e-9)
+    step_1 = dd_chains.make_dd_chain_step(plan, part, nvec=nvec,
+                                          spdim=spdim, maxit=400, rtol=1e-9)
+    import dataclasses as dc
+    states_b, W_b, its, cnts = step_b(states, W)
+    for c in range(nchains):
+        st = dc.replace(states, xi=states.xi[c], g=states.g[c],
+                        key=states.key[c])
+        st1, Wn, it, cnt = step_1(st, W[c])
+        # identical Metropolis trajectories (the draw does not depend on
+        # the solve), near-identical counts, equivalent deflation spaces
+        np.testing.assert_allclose(np.asarray(st1.g), np.asarray(states_b.g[c]),
+                                   rtol=1e-12, atol=1e-12)
+        assert int(cnt) == int(cnts[c])
+        assert abs(int(it) - int(its[c])) <= 2, (c, int(it), int(its[c]))
+        _assert_basis_equal(Wn, W_b[c])
+    # functional parity on a second recycled step
+    states_b2, W_b2, its2, _ = step_b(states_b, W_b)
+    for c in range(nchains):
+        st = dc.replace(states_b, xi=states_b.xi[c], g=states_b.g[c],
+                        key=states_b.key[c])
+        _, _, it, _ = step_1(st, W_b[c])
+        assert abs(int(it) - int(its2[c])) <= 2
+
+
+def test_batched_step_stencil_plan():
+    """Batched DD chain over the gather-free stencil plan (the production
+    chip layout: vmapped condense_dd_stencil + batched-NN eigDef-PCG)."""
+    from krylov_spdes_tpu.fem.dd_stencil import prepare_dd_stencil_assembly
+    mesh = get_mesh(900, jitter=0.2, seed=0)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    epart, part, plan = prepare_dd_stencil_assembly(mesh, maps, fsrc, uex, 6)
+    M = get_mass_matrix(mesh.cells, mesh.points)
+    cov = make_cov("sexp", 1.0, 0.3)
+    lam, psi = solve_kl(mesh.cells, mesh.points, cov, 10, M, relative=0.98)
+    states = prepare_chain_states(lam, psi, 2, base_key=5)
+    W, its0 = dd_chains.seed_dd_chains_batched(plan, part, states, 6, 16,
+                                               maxit=400)
+    step = dd_chains.make_batched_dd_chain_step(plan, part, nvec=6, spdim=16,
+                                                maxit=400)
+    its_hist = [np.asarray(its0)]
+    for _ in range(4):
+        states, W, its, cnts = step(states, W)
+        its_hist.append(np.asarray(its))
+    its_hist = np.stack(its_hist)
+    assert (its_hist > 0).all() and (its_hist < 400).all()
+    assert np.isfinite(np.asarray(W)).all()
+    # recycling brings steady state below the unrecycled seed count
+    assert its_hist[-2:].mean() < its_hist[0].mean()
