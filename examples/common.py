@@ -31,6 +31,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--cpu", action="store_true",
                    help="force CPU backend (f64)")
     p.add_argument("--data-dir", default="data")
+    p.add_argument("--kl-method", default="single",
+                   choices=["single", "dd"],
+                   help="sampling-basis construction: single-domain KL "
+                        "(Arpack-analogue, KarhunenLoeve.jl:27-193) or the "
+                        "two-level DD KL device pipeline (kl/dd_device.py — "
+                        "the reference's own strategy for large bases, "
+                        "~10x faster setup at protocol sizes)")
     return p
 
 
@@ -67,22 +74,42 @@ def build_kl(args, mesh, nev=50, relative=0.995, verbose=True):
     """KL basis with artifact caching: the (λ, Ψ) pair is persisted to
     data_dir keyed by the reference's root filename (the reference's
     load_existing_* stage-skipping, Example07:24-30 / SURVEY.md §5) — the
-    eigensolve is minutes at 32k+ nodes and is identical across drivers."""
+    eigensolve is minutes at 32k+ nodes and is identical across drivers.
+
+    --kl-method dd builds the basis through the two-level DD KL device
+    pipeline instead (kl/dd_device.py) — the reference's own large-basis
+    strategy (Example05), ~10x faster setup at protocol sizes; cached under
+    a distinct `.dd` suffix."""
     from krylov_spdes_tpu.fem.assembly import get_mass_matrix
     from krylov_spdes_tpu.kl.covariance import make_cov
-    from krylov_spdes_tpu.kl.single import solve_kl
     cov = make_cov(args.model, args.sig2, args.L)
     M = get_mass_matrix(mesh.cells, mesh.points)
+    method = getattr(args, "kl_method", "single")
+    sfx = f"kl{nev}" + (".dd" if method == "dd" else "")
     cache = os.path.join(args.data_dir,
-                         f"{root_fname(args)}.seed{args.seed}.kl{nev}.npz")
+                         f"{root_fname(args)}.seed{args.seed}.{sfx}.npz")
     if os.path.exists(cache):
         d = np.load(cache)
         if d["psi"].shape[0] == mesh.nnode:
             if verbose:
                 print(f"KL basis loaded from {cache}")
             return cov, M, d["lam"], d["psi"]
-    lam, psi = solve_kl(mesh.cells, mesh.points, cov, nev, M,
-                        relative=relative, verbose=verbose)
+    if method == "dd":
+        from krylov_spdes_tpu.fem.partition import mesh_partition
+        from krylov_spdes_tpu.kl.dd_device import compute_dd_kl_device
+        # eigh cost ~ n³/ndom²: ~650-node subdomains put a 32k basis at ~13 s
+        # on 2 host cores (vs ~8 min single-domain), 0.995 energy still met
+        ndom_kl = max(16, min(512, mesh.nnode // 600))
+        epart, _ = mesh_partition(mesh.cells, mesh.points, ndom_kl,
+                                  mesh.cell_neighbors)
+        lam, psi = compute_dd_kl_device(
+            mesh.cells, mesh.points, epart, ndom_kl, cov, nev=nev,
+            relative_local=0.999, relative_global=relative,
+            verbose=verbose, max_modes=nev)   # protocol basis size
+    else:
+        from krylov_spdes_tpu.kl.single import solve_kl
+        lam, psi = solve_kl(mesh.cells, mesh.points, cov, nev, M,
+                            relative=relative, verbose=verbose)
     os.makedirs(args.data_dir, exist_ok=True)
     np.savez(cache, lam=np.asarray(lam), psi=np.asarray(psi))
     return cov, M, lam, psi

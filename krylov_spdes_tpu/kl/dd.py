@@ -226,11 +226,25 @@ def assemble_reduced_covariance(sub: KLSubdomains, points, cov, phi_d,
 def solve_global_reduced_kl(nnode, K, energy_expected, sub: KLSubdomains,
                             phi_d, relative: float = 0.99,
                             verbose: bool = False,
-                            return_reduced: bool = False):
+                            return_reduced: bool = False,
+                            max_modes: int | None = None):
     """Dense reduced eigensolve + truncation + projection to mesh nodes
-    (reference :783-845, project_on_mesh :920-983)."""
-    w, V = np.linalg.eigh((K + K.T) / 2)
-    w, V = trim_and_order(w, V)
+    (reference :783-845, project_on_mesh :920-983).
+
+    max_modes caps the kept modes; when the reduced dimension is much larger
+    than the cap (fine partitions keep many local modes), a Lanczos partial
+    eigensolve replaces the full O(nred³) eigh — the protocol-basis fast
+    path (a 128k-DoF basis through 200 subdomains stays seconds)."""
+    nred = K.shape[0]
+    if max_modes is not None and nred > max(4 * max_modes, 500):
+        from scipy.sparse.linalg import eigsh
+        w, V = eigsh((K + K.T) / 2, k=max_modes, which="LA")
+        w, V = trim_and_order(w, V)
+    else:
+        w, V = np.linalg.eigh((K + K.T) / 2)
+        w, V = trim_and_order(w, V)
+        if max_modes is not None:
+            w, V = w[:max_modes], V[:, :max_modes]
     target = relative * energy_expected
     energy, nvec = 0.0, 0
     for lam in w:

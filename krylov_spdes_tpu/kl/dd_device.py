@@ -268,7 +268,8 @@ def compute_dd_kl_device(cells, points, epart, ndom, cov, nev: int,
                          relative_local: float = 0.99,
                          relative_global: float = 0.99,
                          forget: float = -1.0, dom_chunk: int | None = None,
-                         pair_chunk: int = 64, mesh=None, verbose=False):
+                         pair_chunk: int = 64, mesh=None, verbose=False,
+                         max_modes: int | None = None):
     """End-to-end device-resident two-level KL (pll_compute_kl analogue,
     reference :457-614). Heavy stages shard over `mesh`'s axes when given."""
     tables = build_kl_tables(cells, points, epart, ndom)
@@ -283,7 +284,8 @@ def compute_dd_kl_device(cells, points, epart, ndom, cov, nev: int,
                                        float(energy), sub,
                                        np.asarray(phi_d),
                                        relative=relative_global,
-                                       verbose=verbose)
+                                       verbose=verbose,
+                                       max_modes=max_modes)
     return lam, psi
 
 
