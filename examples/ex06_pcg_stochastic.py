@@ -45,13 +45,17 @@ def main():
 
     mesh, maps, asm = build_fem(args)
     cov, M, lam, psi = build_kl(args, mesh)
-    epart, part, plan = build_dd(args, mesh, maps)
+    strategies = args.strategies.split(",")
+    # the DD plan only feeds LORASC; skip its host setup otherwise
+    part = plan = None
+    if "lorasc" in strategies:
+        epart, part, plan = build_dd(args, mesh, maps)
     smp = prepare_mc_sampler(lam, psi, key=args.seed)
 
     # median operator (xi = 0 -> g = 0 -> coeff = 1)
     A0, _ = do_isotropic_elliptic_assembly(asm, np.ones(mesh.nnode))
-    strategies = args.strategies.split(",")
-    bj_plan = prepare_block_jacobi_plan(A0, max(2, args.ndom))
+    bj_plan = (prepare_block_jacobi_plan(A0, max(2, args.ndom))
+               if "bj" in strategies else None)
 
     St0 = None
     if "samg" in strategies:

