@@ -1,0 +1,106 @@
+"""VMEM-stretch eigDef-PCG vs the XLA fused twin — µs/iteration on chip.
+
+The round-2 negative result (ops/vmem_eigdef.py ~435 µs/iter vs ~98 µs for
+solvers/defcg's fused XLA path at 65k DoF / nvec=16) traced to 2nvec
+serialized cross-lane reductions per iteration; the kernel now computes the
+projection coefficients with one two-axis MXU contraction and ping-pongs the
+V-column DMA. This bench decides win-or-retire.
+
+  BENCH_NNODE=65000 BENCH_NVEC=16 python bench_vmem_eigdef.py
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.tree_util import Partial
+
+    nnode = int(os.environ.get("BENCH_NNODE", "65000"))
+    nvec = int(os.environ.get("BENCH_NVEC", "16"))
+    spdim = 3 * nvec
+    maxit = int(os.environ.get("BENCH_MAXIT", "400"))
+    rtol = 1e-5
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        from krylov_spdes_tpu.fem.mesh import get_mesh
+        from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+        from krylov_spdes_tpu.fem.stencil_assembly import (
+            prepare_stencil_assembly, stencil_assemble)
+        mesh = get_mesh(nnode, seed=0)
+        maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+        plan = prepare_stencil_assembly(
+            mesh, maps, lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+        rng = np.random.default_rng(0)
+        g = 0.4 * rng.normal(size=mesh.nnode)
+
+    dev = jax.devices()[0]
+    plan = jax.device_put(plan, dev)
+    planes, b = stencil_assemble(plan, jnp.exp(jnp.asarray(g, plan.factors.dtype)))
+
+    from krylov_spdes_tpu.ops.stencil import StencilOp, stencil_matvec
+    from krylov_spdes_tpu.ops.fused_cg import build_padded_stencil
+    from krylov_spdes_tpu.ops.vmem_eigdef import vmem_eigdefpcg
+    from krylov_spdes_tpu.solvers.defcg import _eigdef_impl
+    from krylov_spdes_tpu.solvers.eigcg import _eigpcg_impl
+    from krylov_spdes_tpu.solvers.base import as_precond_op
+
+    St = StencilOp(planes=planes, dir_diag=plan.dir_diag,
+                   slot=jnp.zeros((0,), jnp.int32), H=plan.H, W=plan.W)
+    A = Partial(stencil_matvec, St)
+    mdiag_mat = (planes[0] + plan.dir_diag).reshape(-1)
+    mdiag = 1.0 / mdiag_mat
+    Mfn = as_precond_op(Partial(lambda d, r: d * r, mdiag))
+
+    # seed W with eigPCG
+    _, it0, _, W0 = _eigpcg_impl(A, Mfn, b, jnp.zeros_like(b), nvec, spdim,
+                                 maxit, rtol)
+    W0 = W0.block_until_ready()
+
+    def timed(fn, label, n=3):
+        x, it, res, Wn = fn()
+        float(jnp.sum(x)); int(it)
+        ts = []
+        for _ in range(n):
+            t0 = time.time()
+            x, it, res, Wn = fn()
+            float(jnp.sum(x))
+            its = int(it)
+            ts.append(time.time() - t0)
+        dt = sorted(ts)[n // 2]
+        print(f"# {label}: {dt * 1e3:.2f} ms / {its} its = "
+              f"{dt / its * 1e6:.1f} us/iter")
+        return dt / its, its
+
+    # XLA fused twin (bf16 basis OFF for a like-for-like f32 comparison)
+    t_xla, its_x = timed(
+        lambda: _eigdef_impl(A, Mfn, b, jnp.zeros_like(b), W0, nvec, spdim,
+                             maxit, jnp.asarray(rtol, b.dtype), True, True,
+                             mdiag, None),
+        "xla fused eigDef-PCG")
+
+    ps = build_padded_stencil(St)
+    t_vmem, its_v = timed(
+        lambda: vmem_eigdefpcg(ps, b, W0, mdiag_full=mdiag_mat, spdim=spdim,
+                               maxit=maxit, rtol=rtol),
+        "vmem stretch kernel")
+
+    baseline = float(os.environ.get("BENCH_BASELINE", t_xla))
+    print(json.dumps({
+        "metric": "vmem_eigdef_us_per_iter",
+        "value": round(t_vmem * 1e6, 1),
+        "unit": "us",
+        "vs_baseline": round(baseline / t_vmem, 3),
+    }))
+    print(f"# speedup vs xla twin: {t_xla / t_vmem:.2f}x "
+          f"(its xla={its_x} vmem={its_v})")
+
+
+if __name__ == "__main__":
+    main()

@@ -62,7 +62,10 @@ def main():
                             ".ex07.iters.npz")
         if os.path.exists(ckpt):
             d = np.load(ckpt)
-            start = int(d["ndone"]) if "ndone" in d else args.nreals
+            # a COMPLETED archive has no ndone marker — its length is the
+            # done count (lets --nreals extend a finished protocol run)
+            start = int(d["ndone"]) if "ndone" in d else len(d[names[0]])
+            start = min(start, args.nreals)
             for k in names:
                 n = min(start, len(d[k]))
                 iters[k][:n] = d[k][:n]

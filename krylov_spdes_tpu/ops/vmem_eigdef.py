@@ -76,6 +76,7 @@ def _apply_xla(P, x, R, K):
 def _stretch_kernel(nvec, spdim, R, C, K,
                     scal_ref, iscal_ref,
                     planes_ref, minv_ref, G_ref, A1_ref, B_ref,
+                    ssum_ref, ones_ref,
                     xin_ref, rin_ref, pin_ref, Vin_ref,
                     xo_ref, ro_ref, po_ref, V_ref,
                     alphas_ref, betas_ref, res2_ref, cnt_ref, rTz_ref,
@@ -114,15 +115,20 @@ def _stretch_kernel(nvec, spdim, R, C, K,
         alpha = rTz / jnp.sum(p * ap)
         xo_ref[...] = xo_ref[...] + alpha * p
         r = ro_ref[...] - alpha * ap
-        # one VMEM pass over G: reorth + deflation coefficients. STATIC
-        # Python unroll over the 2nvec basis planes (a fori_loop serialized
-        # each tile-reduce behind a scalar-SMEM round trip — measured
-        # ~480 µs/iteration at 65k DoF, 5x slower than the XLA twin; 3-D
-        # vector forms hit Mosaic gather/layout limits). The unroll leaves
-        # only value-level data flow, so the scheduler pipelines the plane
-        # reductions.
+        # one VMEM pass over G: reorth + deflation coefficients, as 2nvec
+        # static-unrolled tile reductions. Direct in-kernel measurement
+        # (marginal-iteration probes, round 3): base loop+apply 0.8, +these
+        # U sums 5.5, +acc chains 7.7 µs/iter — the reductions are NOT the
+        # bottleneck. MXU alternatives measured/ruled out: two-axis
+        # dot_general (Mosaic: "lhs contracting dims must be of size 1"),
+        # flat (1, R·C) lane layouts (compile hang), staged
+        # P=G⊙r → ones-matvec → block-sum matvec (690 µs/iter end to end —
+        # the 2nvec·R concat temp + scalar extracts cost more than the tree
+        # reduces they replaced).
         U = [jnp.sum(G_ref[k * R:(k + 1) * R, :] * r)
              for k in range(2 * nvec)]
+        # accumulation chains stay unrolled FMAs over (R, C) tiles (pure
+        # VPU, bandwidth-bound — they pipeline fine)
         acc_r = jnp.zeros_like(r)
         for k in range(nvec):
             acc_r = acc_r + U[k] * A1_ref[k * R:(k + 1) * R, :]
@@ -136,18 +142,43 @@ def _stretch_kernel(nvec, spdim, R, C, K,
         rTz_new = jnp.sum(r * z)
         beta = rTz_new / rTz
         po_ref[...] = beta * p + z - acc_p  # deflated direction
-        # append V column ivec0+i+1 = z/sqrt(rTz) (defcg.jl:418-423)
-        vcol_scr[...] = z / jnp.sqrt(rTz_new)
-        cp = pltpu.make_async_copy(
-            vcol_scr, V_ref.at[pl.ds((ivec0 + i + 1) * R, R)], sem)
-        cp.start()
-        cp.wait()
+        # append V column ivec0+i+1 = z/sqrt(rTz) (defcg.jl:418-423):
+        # ping-pong the HBM write — start slot s, only wait for slot s when
+        # it is reused two iterations later, so the DMA overlaps compute
+        slot = jax.lax.rem(i, jnp.int32(2))
+
+        @pl.when(i >= 2)
+        def _wait_prev():
+            pltpu.make_async_copy(
+                vcol_scr.at[pl.ds(slot * R, R)],
+                V_ref.at[pl.ds((ivec0 + i - 1) * R, R)], sem.at[slot]).wait()
+
+        vcol_scr[pl.ds(slot * R, R)] = z / jnp.sqrt(rTz_new)
+        pltpu.make_async_copy(
+            vcol_scr.at[pl.ds(slot * R, R)],
+            V_ref.at[pl.ds((ivec0 + i + 1) * R, R)], sem.at[slot]).start()
         alphas_ref[i, 0] = alpha
         betas_ref[i, 0] = beta
         res2_ref[i, 0] = rTr
         return (i + 1, rTz_new, rTr)
 
     i, rTz, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), rTz0, res2p))
+
+    # drain the outstanding ping-pong copies (slots i-1 and i-2 may be live)
+    @pl.when(i >= 1)
+    def _drain_last():
+        s = jax.lax.rem(i - jnp.int32(1), jnp.int32(2))
+        pltpu.make_async_copy(
+            vcol_scr.at[pl.ds(s * R, R)],
+            V_ref.at[pl.ds((ivec0 + i) * R, R)], sem.at[s]).wait()
+
+    @pl.when(i >= 2)
+    def _drain_prev():
+        s = jax.lax.rem(i - jnp.int32(2), jnp.int32(2))
+        pltpu.make_async_copy(
+            vcol_scr.at[pl.ds(s * R, R)],
+            V_ref.at[pl.ds((ivec0 + i - 1) * R, R)], sem.at[s]).wait()
+
     cnt_ref[0, 0] = i
     rTz_ref[0, 0] = rTz
 
@@ -160,6 +191,12 @@ def _stretch_call(nvec, spdim, R, C, K, planes, minv, G, A1, B,
     dtype = x.dtype
     scal = jnp.stack([tol2, rTz, res2_prev]).reshape(3, 1).astype(dtype)
     iscal = jnp.stack([nsteps, ivec0]).reshape(2, 1).astype(jnp.int32)
+    # block-sum selection matrix + lane-reduce ones vector (constants; the
+    # jit caches them — they never leave the device)
+    kk = jnp.arange(2 * nvec)
+    rr = jnp.arange(2 * nvec * R) // R
+    ssum = (kk[:, None] == rr[None, :]).astype(dtype)   # (2nvec, 2nvec·R)
+    ones_c = jnp.ones((C, 1), dtype)
     kernel = partial(_stretch_kernel, nvec, spdim, R, C, K)
     out = pl.pallas_call(
         kernel,
@@ -171,6 +208,8 @@ def _stretch_call(nvec, spdim, R, C, K, planes, minv, G, A1, B,
             pl.BlockSpec(memory_space=pltpu.VMEM),    # G (2nvec·R, C)
             pl.BlockSpec(memory_space=pltpu.VMEM),    # A1 (nvec·R, C)
             pl.BlockSpec(memory_space=pltpu.VMEM),    # B (2nvec·R, C)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # ssum (2nvec, 2nvec·R)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # ones (C, 1)
             pl.BlockSpec(memory_space=pltpu.VMEM),    # x
             pl.BlockSpec(memory_space=pltpu.VMEM),    # r
             pl.BlockSpec(memory_space=pltpu.VMEM),    # p
@@ -198,17 +237,17 @@ def _stretch_call(nvec, spdim, R, C, K, planes, minv, G, A1, B,
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), dtype),
         ),
-        input_output_aliases={10: 3},                 # V in -> V out
+        input_output_aliases={12: 3},                 # V in -> V out
         scratch_shapes=[
-            pltpu.VMEM((R, C), dtype),                # vcol
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2 * R, C), dtype),            # vcol ping-pong slots
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         # the default 16 MB scoped-VMEM stack can't hold the staging for the
         # aliased HBM V output; the named operands already budget ~60 MB
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
-    )(scal, iscal, planes, minv, G, A1, B, x, r, p, V)
+    )(scal, iscal, planes, minv, G, A1, B, ssum, ones_c, x, r, p, V)
     x, r, p, V, alphas, betas, res2, cnt, rTz = out
     return (x, r, p, V, alphas[:, 0], betas[:, 0], res2[:, 0],
             cnt[0, 0], rTz[0, 0])
