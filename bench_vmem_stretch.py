@@ -1,0 +1,183 @@
+"""Isolate the per-stretch fixed overhead of the VMEM eigDef-PCG kernel.
+
+Round-3 bisection (ops/vmem_eigdef.py docstring, commit a5fbdb4) measured the
+kernel BODY at ~8-23 µs/iter while the whole solver costs ~435 µs/iter — the
+gap must be a per-STRETCH cost outside the while-loop body. This probe pins
+it: time `_stretch_call` standalone over an nsteps sweep (30 queued calls per
+point, one readback — async dispatch hides the host round trip), then fit
+    t(nsteps) = fixed + nsteps * per_iter.
+If `fixed` dominates, the amortization lever is a longer stretch (bigger
+spdim); the probe cross-checks by timing the FULL solver at spdim = 3·nvec
+vs 5·nvec (both legal: spdim >= 2·nvec+1, defcg.jl:313-473 treats spdim as a
+free parameter).
+
+  BENCH_NNODE=65000 BENCH_NVEC=16 python bench_vmem_stretch.py
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    nnode = int(os.environ.get("BENCH_NNODE", "65000"))
+    nvec = int(os.environ.get("BENCH_NVEC", "16"))
+    spdim = 3 * nvec
+    rtol = 1e-5
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        from krylov_spdes_tpu.fem.mesh import get_mesh
+        from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+        from krylov_spdes_tpu.fem.stencil_assembly import (
+            prepare_stencil_assembly, stencil_assemble)
+        mesh = get_mesh(nnode, seed=0)
+        maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+        plan = prepare_stencil_assembly(
+            mesh, maps, lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+        rng = np.random.default_rng(0)
+        g = 0.4 * rng.normal(size=mesh.nnode)
+
+    dev = jax.devices()[0]
+    plan = jax.device_put(plan, dev)
+    planes_st, b = stencil_assemble(
+        plan, jnp.exp(jnp.asarray(g, plan.factors.dtype)))
+
+    from jax.tree_util import Partial
+    from jax.scipy.linalg import cho_factor, cho_solve
+    from krylov_spdes_tpu.ops.stencil import StencilOp, stencil_matvec
+    from krylov_spdes_tpu.ops.fused_cg import (build_padded_stencil, pad_vec,
+                                               _unblock_planes, _jacobi_minv)
+    from krylov_spdes_tpu.ops.vmem_eigdef import (_apply_xla, _stretch_call,
+                                                  vmem_eigdefpcg)
+    from krylov_spdes_tpu.solvers.defcg import _eigdef_impl
+    from krylov_spdes_tpu.solvers.eigcg import _eigpcg_impl
+    from krylov_spdes_tpu.solvers.base import as_precond_op
+
+    St = StencilOp(planes=planes_st, dir_diag=plan.dir_diag,
+                   slot=jnp.zeros((0,), jnp.int32), H=plan.H, W=plan.W)
+    A = Partial(stencil_matvec, St)
+    mdiag_mat = (planes_st[0] + plan.dir_diag).reshape(-1)
+    mdiag = 1.0 / mdiag_mat
+    Mfn = as_precond_op(Partial(lambda d, r: d * r, mdiag))
+
+    _, it0, _, W0 = _eigpcg_impl(A, Mfn, b, jnp.zeros_like(b), nvec,
+                                 spdim, 400, rtol)
+    W0 = W0.block_until_ready()
+
+    # ---- build one stretch's operands exactly as _vmem_eigdef_impl does ----
+    ps = build_padded_stencil(St)
+    R, C, K = ps.R, ps.C, ps.K
+    RC = R * C
+    dtype = b.dtype
+    bp = pad_vec(ps, b)
+    planes = _unblock_planes(ps)
+    minv = _jacobi_minv(ps, planes, mdiag_mat).astype(dtype)
+    Wp = jnp.concatenate([pad_vec(ps, W0[:, k]) for k in range(nvec)], axis=0)
+    Wf = Wp.reshape(nvec, RC)
+    W3 = Wp.reshape(nvec, R, C)
+    WtA = jax.vmap(lambda w: _apply_xla(planes, w, R, K).reshape(-1))(W3)
+    WtAW = WtA @ Wf.T
+    WtW = Wf @ Wf.T
+    cho = cho_factor(WtAW)
+    cho_w = cho_factor(WtW)
+    minv_f = minv.reshape(-1)
+    WtAM = WtA * minv_f[None, :]
+    Km = WtAM @ Wf.T
+    eye = jnp.eye(nvec, dtype=dtype)
+    M1 = cho_solve(cho_w, eye)
+    M2 = cho_solve(cho, eye)
+    G = jnp.concatenate([Wf, WtAM], axis=0).reshape(2 * nvec * R, C)
+    A1 = (M1 @ Wf).reshape(nvec * R, C)
+    B = jnp.concatenate([-(M1 @ Km.T @ M2) @ Wf, M2 @ Wf],
+                        axis=0).reshape(2 * nvec * R, C)
+    bf = bp.reshape(-1)
+    x = (Wf.T @ cho_solve(cho, Wf @ bf)).reshape(R, C)
+    r = bp - _apply_xla(planes, x, R, K)
+    z = minv * r
+    rTz = jnp.sum(r * z)
+    mu = cho_solve(cho, WtA @ z.reshape(-1))
+    p = z - (mu @ Wf).reshape(R, C)
+    V = jnp.zeros((spdim, RC), dtype).at[:nvec].set(Wf)
+    V = V.at[nvec].set(z.reshape(-1) / jnp.sqrt(rTz)).reshape(spdim * R, C)
+    res2_prev = jnp.sum(r * r)
+    tol2 = jnp.asarray(1e-30, dtype)  # never converge: run all nsteps
+    for v in (G, A1, B, x, r, p, V):
+        v.block_until_ready()
+
+    NQ = 30
+
+    def time_stretch(nsteps):
+        call = lambda: _stretch_call(
+            nvec, spdim, R, C, K, planes, minv, G, A1, B,
+            x, r, p, V, tol2, rTz, res2_prev,
+            jnp.int32(nsteps), jnp.int32(0))
+        out = call()
+        float(jnp.sum(out[0]))  # warm compile + force
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            last = None
+            for _ in range(NQ):
+                last = call()
+            float(jnp.sum(last[0]))
+            ts.append((time.time() - t0) / NQ)
+        return sorted(ts)[1]
+
+    sweep = {}
+    for nsteps in (1, 3, 7, 15, 31, 46):
+        dt = time_stretch(nsteps)
+        sweep[nsteps] = dt
+        print(f"# stretch nsteps={nsteps:3d}: {dt * 1e6:9.1f} us/call "
+              f"({dt / nsteps * 1e6:8.1f} us/iter)")
+
+    ns = np.array(sorted(sweep))
+    tt = np.array([sweep[k] for k in ns])
+    slope, fixed = np.polyfit(ns, tt, 1)
+    print(f"# linear fit: fixed {fixed * 1e6:.1f} us/stretch + "
+          f"{slope * 1e6:.2f} us/iter")
+
+    # ---- full solver at two spdim values + the XLA twin -------------------
+    def timed(fn, label, n=3):
+        xx, it, _, _ = fn()
+        float(jnp.sum(xx)); int(it)
+        ts = []
+        for _ in range(n):
+            t0 = time.time()
+            xx, it, _, _ = fn()
+            float(jnp.sum(xx))
+            its = int(it)
+            ts.append(time.time() - t0)
+        dt = sorted(ts)[n // 2]
+        print(f"# {label}: {dt * 1e3:.2f} ms / {its} its = "
+              f"{dt / its * 1e6:.1f} us/iter")
+        return dt / its
+
+    results = {}
+    for sp in (3 * nvec, 5 * nvec):
+        results[f"vmem_sp{sp}"] = timed(
+            lambda sp=sp: vmem_eigdefpcg(ps, b, W0, mdiag_full=mdiag_mat,
+                                         spdim=sp, maxit=400, rtol=rtol),
+            f"vmem solver spdim={sp}")
+        results[f"xla_sp{sp}"] = timed(
+            lambda sp=sp: _eigdef_impl(A, Mfn, b, jnp.zeros_like(b), W0,
+                                       nvec, sp, 400,
+                                       jnp.asarray(rtol, b.dtype), True,
+                                       True, mdiag, None),
+            f"xla twin spdim={sp}")
+
+    print(json.dumps({
+        "metric": "vmem_stretch_fixed_overhead_us",
+        "value": round(float(fixed) * 1e6, 1),
+        "unit": "us",
+        "vs_baseline": round(float(slope) * 1e6, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

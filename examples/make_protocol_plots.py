@@ -1,0 +1,99 @@
+"""Regenerate the protocol-archive figures from examples/data_protocol/.
+
+One committed entry point (instead of ad-hoc plotting) so the figures under
+examples/plots/ always reflect the current archives. Produces:
+
+  plots/protocol_surfaces.png — per-realization iteration curves for every
+    archived ex06/ex07 grid point (the reference's Example06:22-32 /
+    Example07:21-29 study surfaces at the archived corners).
+  plots/ex17_iters.png — mean±std per-sample recycler curves from the
+    CURRENT ex17 archive (repaired trajectory), alongside
+    plots/ex17_iters_r2archive.png for the round-2 one.
+
+  python examples/make_protocol_plots.py
+"""
+
+import glob
+import os
+import re
+
+import numpy as np
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+DATA = os.path.join(HERE, "data_protocol")
+PLOTS = os.path.join(HERE, "plots")
+
+
+def _valid(a):
+    return a[a > 0]
+
+
+def protocol_surfaces():
+    files = sorted(glob.glob(os.path.join(DATA, "*.ex0[67].iters.npz")))
+    if not files:
+        return
+    fig, axes = plt.subplots(1, len(files), figsize=(4.6 * len(files), 4.0),
+                             squeeze=False)
+    for ax, f in zip(axes[0], files):
+        d = np.load(f)
+        m = re.search(r"DoF(\d+)\.ndom(\d+)\.ex(\d+)", f)
+        dof, ndom, ex = m.group(1), m.group(2), m.group(3)
+        for name in d.files:
+            arr = d[name]
+            if arr.ndim != 1 or arr.dtype.kind not in "iu" or \
+                    name.startswith("ndone"):
+                continue
+            v = _valid(arr)
+            if not v.size:
+                continue
+            ax.plot(np.arange(1, v.size + 1), v, lw=0.8,
+                    label=f"{name} (mean {v.mean():.0f})")
+        cert = ", certified 1e-7" if "certified_rtol" in d.files else ""
+        ax.set_title(f"ex{ex}: {int(dof) // 1000}k DoF, ndom={ndom}{cert}",
+                     fontsize=10)
+        ax.set_xlabel("realization")
+        ax.set_ylabel("iterations")
+        ax.legend(fontsize=7)
+        ax.grid(alpha=0.3)
+    fig.tight_layout()
+    out = os.path.join(PLOTS, "protocol_surfaces.png")
+    fig.savefig(out, dpi=130)
+    print(f"wrote {out}")
+
+
+def ex17_curves(npz, out, title):
+    if not os.path.exists(npz):
+        return
+    d = np.load(npz)
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    for name in d.files:
+        arr = d[name]
+        if arr.ndim != 2 or arr.dtype.kind not in "iu":
+            continue
+        mean, std = arr.mean(axis=0), arr.std(axis=0)
+        s = np.arange(1, mean.shape[0] + 1)
+        ax.plot(s, mean, label=f"{name} (mean {mean.mean():.0f})", lw=1.0)
+        ax.fill_between(s, mean - std, mean + std, alpha=0.15)
+    ax.set_xlabel("sample s along chain")
+    ax.set_ylabel("solver iterations")
+    ax.set_title(title, fontsize=10)
+    ax.legend(fontsize=7, ncol=2)
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out, dpi=130)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    os.makedirs(PLOTS, exist_ok=True)
+    protocol_surfaces()
+    root = "SExp_sig21.0_L0.1_DoF32000.ndom30"
+    ex17_curves(os.path.join(DATA, f"{root}.ex17.iters.npz"),
+                os.path.join(PLOTS, "ex17_iters.png"),
+                "ex17 recycler benchmark: 32k DoF, ndom=30, 2 chains")
+    ex17_curves(os.path.join(DATA, f"{root}.ex17.iters.r2archive.npz"),
+                os.path.join(PLOTS, "ex17_iters_r2archive.png"),
+                "ex17 round-2 archive (lotrhr column pre-fix, corrupt)")
