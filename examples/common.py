@@ -31,6 +31,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--cpu", action="store_true",
                    help="force CPU backend (f64)")
     p.add_argument("--data-dir", default="data")
+    p.add_argument("--mesh", default="structured",
+                   choices=["structured", "delaunay"],
+                   help="structured: jittered structured-topology mesh "
+                        "(stencil fast paths apply); delaunay: genuinely "
+                        "unstructured triangulation (general path; pair "
+                        "with ex01 --op banded for the TPU-fast matvec)")
     p.add_argument("--kl-method", default="single",
                    choices=["single", "dd"],
                    help="sampling-basis construction: single-domain KL "
@@ -61,10 +67,13 @@ def uex(x, y):
 
 
 def build_fem(args):
-    from krylov_spdes_tpu.fem.mesh import get_mesh
+    from krylov_spdes_tpu.fem.mesh import get_mesh, get_delaunay_mesh
     from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
     from krylov_spdes_tpu.fem.assembly import prepare_elliptic_assembly
-    mesh = get_mesh(args.nnode, jitter=0.2, seed=args.seed)
+    if getattr(args, "mesh", "structured") == "delaunay":
+        mesh = get_delaunay_mesh(args.nnode, seed=args.seed)
+    else:
+        mesh = get_mesh(args.nnode, jitter=0.2, seed=args.seed)
     maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
     asm = prepare_elliptic_assembly(mesh.cells, mesh.points, maps, fsrc, uex)
     return mesh, maps, asm

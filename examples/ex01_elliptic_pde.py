@@ -17,6 +17,10 @@ def main():
                    help="amg: host SA-AMG setup + CSR V-cycle (any mesh); "
                         "stencil-amg: all-stencil SA-AMG, setup AND apply "
                         "on device (structured meshes — the TPU fast path)")
+    p.add_argument("--op", default="ell", choices=["ell", "banded"],
+                   help="CG matvec path: ell (general gather SpMV) or "
+                        "banded (RCM block-tridiagonal, batched MXU — the "
+                        "TPU fast matvec for --mesh delaunay)")
     args = p.parse_args()
     jax = init_backend(args)
     from krylov_spdes_tpu.fem.assembly import do_isotropic_elliptic_assembly
@@ -43,6 +47,21 @@ def main():
             res = pcg(St, to_full_vector(maps, b, mesh.nnode), M=M)
             jax.block_until_ready(res.x)
         res.x = to_free_vector(maps, res.x)
+    elif args.op == "banded":
+        # unstructured fast path: solve the RCM-permuted system so the hot
+        # matvec is block-tridiagonal batched MXU work (ops/banded.py); the
+        # AMG hierarchy is built on the permuted matrix so the whole solve
+        # lives in banded ordering (one gather at entry/exit, not per it)
+        from krylov_spdes_tpu.ops.banded import banded_system
+        with m.phase("banded_setup"):
+            Aop, bp, unperm, op = banded_system(A, b)
+            perm = np.asarray(op.perm)
+        with m.phase("amg_setup"):
+            M = amg_precond(A.to_scipy()[perm][:, perm])
+        with m.phase("pcg", nnz=A.nnz):
+            res = pcg(Aop, bp, M=M)
+            jax.block_until_ready(res.x)
+        res.x = unperm(res.x)
     else:
         with m.phase("amg_setup"):
             M = amg_precond(A)
