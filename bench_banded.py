@@ -1,0 +1,89 @@
+"""Unstructured-mesh CG matvec: ELL-gather path vs RCM-banded MXU path.
+
+Measures the VERDICT-r2 weak-#7 cliff and its fix (ops/banded.py) on the
+chip: a Delaunay-mesh Jacobi-PCG solve timed end to end through both
+operator paths, reported as µs/iteration and effective Gnnz/s.
+
+  BENCH_NNODE=32000 python bench_banded.py
+"""
+
+import json
+import os
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    nnode = int(os.environ.get("BENCH_NNODE", "32000"))
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        from krylov_spdes_tpu.fem.mesh import get_delaunay_mesh
+        from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+        from krylov_spdes_tpu.fem.assembly import (
+            prepare_elliptic_assembly, do_isotropic_elliptic_assembly)
+        mesh = get_delaunay_mesh(nnode, seed=0)
+        maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+        asm = prepare_elliptic_assembly(
+            mesh.cells, mesh.points, maps,
+            lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+        rng = np.random.default_rng(0)
+        kappa = np.exp(0.4 * rng.normal(size=mesh.nnode))
+        A, b = do_isotropic_elliptic_assembly(asm, kappa)
+
+    from krylov_spdes_tpu.ops.banded import banded_system
+    from krylov_spdes_tpu.solvers.cg import pcg
+
+    dev = jax.devices()[0]
+    nnz = A.nnz
+    dinv = 1.0 / np.asarray(A.to_scipy().diagonal())
+
+    def timed(fn, label):
+        res = fn()
+        float(jnp.sum(res.x))
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            res = fn()
+            float(jnp.sum(res.x))
+            its = int(res.it)
+            ts.append(time.time() - t0)
+        dt = sorted(ts)[1]
+        print(f"# {label}: {dt * 1e3:.1f} ms / {its} its = "
+              f"{dt / its * 1e6:.1f} us/iter "
+              f"({nnz * its / dt / 1e9:.2f} Gnnz/s effective)")
+        return dt / its, its
+
+    A_d = jax.device_put(A, dev)
+    b_d = jax.device_put(b, dev)
+    M_ell = jax.tree_util.Partial(
+        lambda d, r: d * r, jax.device_put(jnp.asarray(dinv, b_d.dtype), dev))
+    t_ell, _ = timed(lambda: pcg(A_d, b_d, M=M_ell, maxit=500, rtol=1e-6),
+                     "ell-gather Jacobi-PCG")
+
+    Aop, bp, unperm, op = banded_system(A, b)
+    perm = np.asarray(op.perm)
+    Aop = jax.device_put(Aop, dev)
+    bp_d = jax.device_put(bp, dev)
+    M_band = jax.tree_util.Partial(
+        lambda d, r: d * r,
+        jax.device_put(jnp.asarray(dinv[perm], b_d.dtype), dev))
+    print(f"# banded: bw-block m={op.m}, nb={op.nb} "
+          f"({2 * op.nb * op.m * op.m * 4 / 2**20:.0f} MB blocks)")
+    t_band, _ = timed(lambda: pcg(Aop, bp_d, M=M_band, maxit=500, rtol=1e-6),
+                      "rcm-banded Jacobi-PCG")
+
+    baseline = float(os.environ.get("BENCH_BASELINE", t_ell))
+    print(json.dumps({
+        "metric": "banded_vs_ell_speedup",
+        "value": round(t_ell / t_band, 2),
+        "unit": "x",
+        "vs_baseline": round(baseline / t_band, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
