@@ -57,7 +57,8 @@ def main():
             Aop, bp, unperm, op = banded_system(A, b)
             perm = np.asarray(op.perm)
         with m.phase("amg_setup"):
-            M = amg_precond(A.to_scipy()[perm][:, perm])
+            # banded V-cycle too: every level's smoother matvec on the MXU
+            M = amg_precond(A.to_scipy()[perm][:, perm], matvec="banded")
         with m.phase("pcg", nnz=A.nnz):
             res = pcg(Aop, bp, M=M)
             jax.block_until_ready(res.x)

@@ -39,6 +39,25 @@ def test_banded_matvec_matches_scipy():
     assert np.allclose(y, Ap @ x, rtol=1e-10, atol=1e-12)
 
 
+def test_banded_amg_vcycle_matches_ell_vcycle():
+    # same hierarchy, permutations folded into P/R — the V-cycle output must
+    # be identical to the ELL path up to roundoff
+    A, b = _setup()
+    M_ell = amg_precond(A)
+    M_band = amg_precond(A, matvec="banded")
+    rng = np.random.default_rng(2)
+    r = jnp.asarray(rng.normal(size=A.shape[0]))
+    y_ell = np.asarray(M_ell(r))
+    y_band = np.asarray(M_band(r))
+    assert np.allclose(y_band, y_ell, rtol=1e-9, atol=1e-11)
+    # and it works as a pcg preconditioner end to end
+    res = pcg(A, b, M=M_band)
+    As = A.to_scipy()
+    x = np.asarray(res.x)
+    assert np.linalg.norm(np.asarray(b) - As @ x) <= \
+        1.1e-7 * np.linalg.norm(np.asarray(b))
+
+
 def test_banded_pcg_matches_ell_path():
     A, b = _setup()
     res_ell = pcg(A, b, M=amg_precond(A))
