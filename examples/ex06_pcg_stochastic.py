@@ -24,6 +24,11 @@ def main():
     p.add_argument("--save-spectra", action="store_true",
                    help="record full preconditioned spectra — dense, "
                         "study-sized only (Example06:215-241)")
+    p.add_argument("--resume", action="store_true",
+                   help="fast-forward through realizations already in the "
+                        "periodic checkpoint (ndone marker); a COMPLETED "
+                        "archive is extended toward --nreals (sampler "
+                        "stream replayed for reproducibility)")
     p.add_argument("--certify", action="store_true",
                    help="solve to the CERTIFIED reference tolerance "
                         "(1e-7, cg.jl:33-35) via df32 iterative refinement "
@@ -110,8 +115,35 @@ def main():
         def solve(Ak, bk, M, key, ireal):
             return pcg(Ak, bk, M=M)
 
+    start = 0
+    if args.resume:
+        import os
+        from common import root_fname
+        ckpt = os.path.join(args.data_dir,
+                            f"{root_fname(args)}.ndom{args.ndom}"
+                            ".ex06.iters.npz")
+        if os.path.exists(ckpt):
+            d = np.load(ckpt)
+            k0 = f"{strategies[0]}_const"
+            # a COMPLETED archive has no ndone marker — its length is the
+            # done count (lets --nreals extend a finished protocol run)
+            start = int(d["ndone"]) if "ndone" in d else len(d[k0])
+            start = min(start, args.nreals)
+            for k in iters:
+                if k in d.files:
+                    n = min(start, len(d[k]))
+                    iters[k][:n] = d[k][:n]
+            for k in certres:
+                kk = f"certres_{k}"
+                if kk in d.files:
+                    n = min(start, len(d[kk]))
+                    certres[k][:n] = d[kk][:n]
+            print(f"resuming from {ckpt}: {start}/{args.nreals} done")
+
     for ireal in range(args.nreals):
         smp, _ = draw(smp)
+        if ireal < start:     # fast-forward the sampler through done reals
+            continue
         coeff = np.exp(np.asarray(smp.g))
         A, b = do_isotropic_elliptic_assembly(asm, coeff)
         for s in strategies:

@@ -73,9 +73,13 @@ def ex17_curves(npz, out, title):
         arr = d[name]
         if arr.ndim != 2 or arr.dtype.kind not in "iu":
             continue
-        mean, std = arr.mean(axis=0), arr.std(axis=0)
+        # partially-completed archives carry zeros past the ndone marker —
+        # mask them so means reflect only recorded samples
+        m = np.ma.masked_equal(arr, 0)
+        mean, std = m.mean(axis=0).filled(np.nan), m.std(axis=0).filled(0.0)
         s = np.arange(1, mean.shape[0] + 1)
-        ax.plot(s, mean, label=f"{name} (mean {mean.mean():.0f})", lw=1.0)
+        ax.plot(s, mean, label=f"{name} (mean {np.nanmean(mean):.0f})",
+                lw=1.0)
         ax.fill_between(s, mean - std, mean + std, alpha=0.15)
     ax.set_xlabel("sample s along chain")
     ax.set_ylabel("solver iterations")
