@@ -31,6 +31,11 @@ def main():
     p.add_argument("--methods", default=None,
                    help="comma filter of recyclers to run (default: all "
                         "six), e.g. --methods lotrhr for a targeted re-run")
+    p.add_argument("--resume", action="store_true",
+                   help="continue the serial protocol run from the periodic "
+                        "state checkpoint (recycler bases W + sampler state "
+                        "are persisted every 10 samples, so an interrupted "
+                        "chain resumes mid-trajectory, bit-identical)")
     args = p.parse_args()
     jax = init_backend(args)
     import jax.numpy as jnp
@@ -105,10 +110,41 @@ def main():
     iters = {m: np.zeros((args.nchains, args.nsmp), dtype=np.int64)
              for m in list(methods) + ["pcg"]}
 
+    import os
+    from common import root_fname
+    suffix = f".{args.methods}" if args.methods else ""
+    statef = os.path.join(args.data_dir,
+                          f"{root_fname(args)}.ndom{args.ndom}"
+                          f".ex17.state{suffix}.npz")
+    start_ic = start_s = 0
+    state = None
+    if args.resume and os.path.exists(statef):
+        state = np.load(statef)
+        start_ic, start_s = int(state["ic"]), int(state["s_done"])
+        for m in iters:
+            if m in state.files and state[m].ndim == 2:
+                r = min(state[m].shape[0], iters[m].shape[0])
+                c = min(state[m].shape[1], iters[m].shape[1])
+                iters[m][:r, :c] = state[m][:r, :c]
+        print(f"resuming from {statef}: chain {start_ic} sample {start_s}")
+
     for ic in range(args.nchains):
+        if ic < start_ic:
+            continue          # completed chain, iters restored above
         smp = prepare_mcmc_sampler(lam, psi, key=args.seed * 977 + ic)
         W = {m: None for m in methods}
-        for s in range(args.nsmp):
+        s0 = 0
+        if state is not None and ic == start_ic and start_s > 0:
+            leaves = jax.tree_util.tree_leaves(smp)
+            smp = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(smp),
+                [jnp.asarray(state[f"smp_{i}"], leaves[i].dtype)
+                 for i in range(len(leaves))])
+            for m in methods:
+                if f"W_{m}" in state.files:
+                    W[m] = jnp.asarray(state[f"W_{m}"])
+            s0 = start_s
+        for s in range(s0, args.nsmp):
             if s > 0:
                 smp, _ = draw(smp)
             A, b = do_isotropic_elliptic_assembly(asm, jnp.exp(smp.g))
@@ -125,15 +161,20 @@ def main():
             print(f"chain {ic} s={s}: pcg={iters['pcg'][ic, s]} " + " ".join(
                 f"{m}={iters[m][ic, s]}" for m in methods), flush=True)
             if (s + 1) % 10 == 0 or s == args.nsmp - 1:
-                # periodic checkpoint of the regression surface
-                suffix = f".{args.methods}" if args.methods else ""
+                # periodic checkpoint of the regression surface + full
+                # resume state (recycler bases, sampler) — deviation #11
                 save_npz(args, f"ndom{args.ndom}.ex17.iters{suffix}",
                          ndone_chain=np.int64(ic), ndone_smp=np.int64(s + 1),
                          **iters)
+                np.savez(statef, ic=np.int64(ic), s_done=np.int64(s + 1),
+                         **iters,
+                         **{f"W_{m}": np.asarray(W[m]) for m in methods
+                            if W[m] is not None},
+                         **{f"smp_{i}": np.asarray(l) for i, l in
+                            enumerate(jax.tree_util.tree_leaves(smp))})
 
     for m, v in iters.items():
         print(f"{m}: per-sample mean {v.mean(axis=0).round(1)}")
-    suffix = f".{args.methods}" if args.methods else ""
     save_npz(args, f"ndom{args.ndom}.ex17.iters{suffix}", **iters)
 
 
