@@ -20,6 +20,9 @@ Cost model at 32k nodes (bw ≈ 300): reads 2·n·m·4 B ≈ 76 MB/matvec
 → ~130 µs at HBM speed, vs ~2.2 ms for the 7n-nnz ELL gather — ~17×.
 The FLOP count is ~3m/nnz_row ≈ 100× the sparse count, but MXU FLOPs are
 free next to scalar-core gathers; the matvec is HBM-bandwidth-bound.
+Since bw grows like √n on 2D meshes, block storage is 2·n·bw·4 B ≈
+O(n^1.5): 76 MB at 32k, ~270 MB at 64k — the envelope is ~100k nodes on a
+16 GB chip; beyond that, partition first (DD) or fall back to ELL.
 
 The permutation is folded into the SYSTEM, not the matvec: solve
 A'x' = b' with A' = A[perm][:, perm] (one n-gather at entry and exit of the
