@@ -17,6 +17,8 @@ EXDIR = os.path.join(os.path.dirname(os.path.dirname(
 CASES = [
     ("ex01_elliptic_pde.py", ["--nnode", "400"]),
     ("ex01_elliptic_pde.py", ["--nnode", "400", "--precond", "stencil-amg"]),
+    ("ex01_elliptic_pde.py", ["--nnode", "400", "--mesh", "delaunay",
+                              "--op", "banded"]),
     ("ex03_dd_schur.py", ["--nnode", "500", "--ndom", "4"]),
     ("ex09_defpcg_mcmc.py", ["--nnode", "400", "--ndom", "4",
                              "--nchains", "1", "--nsmp", "2", "--L", "0.4"]),
