@@ -18,6 +18,13 @@ def main():
                    help="continue an interrupted protocol run from its "
                         "periodic checkpoint (ndone marker): completed "
                         "realizations are fast-forwarded (draws only)")
+    p.add_argument("--rtol", type=float, default=1e-7,
+                   help="interface-solve relative tolerance (reference "
+                        "default 1e-7, cg.jl:33-35; use ~1e-5 for a "
+                        "chip-side f32 arm — the f32 effective floor)")
+    p.add_argument("--tag", default=None,
+                   help="suffix for the archive filename (e.g. 'chip' to "
+                        "keep a chip-side arm separate from the f64 one)")
     args = p.parse_args()
     jax = init_backend(args)
     import jax.numpy as jnp
@@ -51,6 +58,7 @@ def main():
         L = jnp.linalg.cholesky(assemble_gamma_matrix(S))
         return Partial(_gamma_chol_apply, L)
 
+    tag = f".{args.tag}" if args.tag else ""
     names = ["nn_const", "nn_rebuilt", "gamma_chol"]
     iters = {k: np.zeros(args.nreals, dtype=np.int64) for k in names}
     start = 0
@@ -59,7 +67,7 @@ def main():
         from common import root_fname
         ckpt = os.path.join(args.data_dir,
                             f"{root_fname(args)}.ndom{args.ndom}"
-                            ".ex07.iters.npz")
+                            f".ex07.iters{tag}.npz")
         if os.path.exists(ckpt):
             d = np.load(ckpt)
             # a COMPLETED archive has no ndone marker — its length is the
@@ -82,19 +90,19 @@ def main():
                          ("nn_rebuilt",
                           prepare_neumann_neumann_schur_precond(S)),
                          ("gamma_chol", gamma_chol_precond(S))]:
-            r = pcg(S, b_s, M=Mp)
+            r = pcg(S, b_s, M=Mp, rtol=args.rtol)
             iters[name][ireal] = int(r.it)
         print(f"real {ireal}: " + "  ".join(
             f"{k}={iters[k][ireal]}" for k in names), flush=True)
         if (ireal + 1) % 20 == 0 or ireal == args.nreals - 1:
             # periodic checkpoint of the regression surface (deviation #11:
             # long protocols survive interruption; ndone marks validity)
-            save_npz(args, f"ndom{args.ndom}.ex07.iters",
+            save_npz(args, f"ndom{args.ndom}.ex07.iters{tag}",
                      ndone=np.int64(ireal + 1), **iters)
 
     for k, v in iters.items():
         print(f"{k}: mean {v.mean():.1f} ± {v.std():.1f}")
-    save_npz(args, f"ndom{args.ndom}.ex07.iters", **iters)
+    save_npz(args, f"ndom{args.ndom}.ex07.iters{tag}", **iters)
 
 
 if __name__ == "__main__":
