@@ -116,6 +116,8 @@ def main():
             return pcg(Ak, bk, M=M)
 
     start = 0
+    carry = {}      # archive columns not owned by this run (e.g. resuming
+                    # a strategy subset) — passed through on every save
     if args.resume:
         import os
         from common import root_fname
@@ -124,10 +126,16 @@ def main():
                             ".ex06.iters.npz")
         if os.path.exists(ckpt):
             d = np.load(ckpt)
-            k0 = f"{strategies[0]}_const"
             # a COMPLETED archive has no ndone marker — its length is the
-            # done count (lets --nreals extend a finished protocol run)
-            start = int(d["ndone"]) if "ndone" in d else len(d[k0])
+            # done count (lets --nreals extend a finished protocol run).
+            # A strategy absent from the archive restarts the whole run at
+            # 0 (its rows must be computed; shared sampler stream keeps the
+            # carried columns coherent).
+            if all(f"{s}_const" in d.files for s in strategies):
+                start = (int(d["ndone"]) if "ndone" in d
+                         else min(len(d[f"{s}_const"]) for s in strategies))
+            else:
+                start = 0
             start = min(start, args.nreals)
             for k in iters:
                 if k in d.files:
@@ -138,7 +146,11 @@ def main():
                 if kk in d.files:
                     n = min(start, len(d[kk]))
                     certres[k][:n] = d[kk][:n]
-            print(f"resuming from {ckpt}: {start}/{args.nreals} done")
+            owned = (set(iters) | {f"certres_{k}" for k in certres}
+                     | {"ndone", "certified_rtol"})
+            carry = {k: d[k] for k in d.files if k not in owned}
+            print(f"resuming from {ckpt}: {start}/{args.nreals} done"
+                  + (f" (carrying {sorted(carry)})" if carry else ""))
 
     for ireal in range(args.nreals):
         smp, _ = draw(smp)
@@ -177,7 +189,7 @@ def main():
             if certres:
                 cext["certified_rtol"] = np.float64(1e-7)
             save_npz(args, f"ndom{args.ndom}.ex06.iters",
-                     ndone=np.int64(ireal + 1), **iters, **cext)
+                     ndone=np.int64(ireal + 1), **iters, **cext, **carry)
 
     for k, v in iters.items():
         print(f"{k}: mean {v.mean():.1f} ± {v.std():.1f}")
@@ -191,7 +203,8 @@ def main():
         extra["certified_rtol"] = np.float64(1e-7)
         for k, v in certres.items():
             print(f"certified relres {k}: max {v.max():.2e}")
-    save_npz(args, f"ndom{args.ndom}.ex06.iters", **iters, **extra)
+    save_npz(args, f"ndom{args.ndom}.ex06.iters", **iters, **extra,
+             **carry)
 
 
 if __name__ == "__main__":
