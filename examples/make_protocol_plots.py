@@ -32,7 +32,7 @@ def _valid(a):
 
 
 def protocol_surfaces():
-    files = sorted(glob.glob(os.path.join(DATA, "*.ex0[67].iters.npz")))
+    files = sorted(glob.glob(os.path.join(DATA, "*.ex0[67].iters*.npz")))
     if not files:
         return
     fig, axes = plt.subplots(1, len(files), figsize=(4.6 * len(files), 4.0),
