@@ -32,6 +32,26 @@ tridiagonal VtAV exactly as _eigdef_impl's advance branch does.
 VMEM budget (f32): (5·nvec + K + 8)·R·C·4 B — nvec=16 at 65k DoF ≈ 40 MB,
 nvec=30 at 65k ≈ 68 MB (fits the ~128 MB v5e VMEM). V (spdim, R·C) stays
 in HBM and is never fully read by the kernel.
+
+STATUS — measured, CLOSED as a perf candidate (kept as a correctness-proven
+reference kernel). `bench_vmem_stretch.py` on the chip (65k DoF, nvec=16):
+
+    _stretch_call fixed overhead   1629 µs/stretch
+    in-kernel marginal cost         1.3 µs/iteration
+    whole solver  spdim=48        303.4 µs/iter   (XLA twin 175.4)
+                  spdim=80        284.9 µs/iter   (XLA twin 166.5)
+
+The kernel BODY wins by >100×; the solver loses because each while-body
+pass advances only spdim−1−2nvec iterations between thick restarts, so the
+per-stretch fixed cost amortizes over ~15 (spdim=48) iterations, and the
+XLA restart path costs ~3.5 ms (spdim=48) to ~13 ms (spdim=80) per restart
+— dominated by layout-change copies of the (spdim·R, C) V buffer crossing
+the kernel/XLA boundary and the small-matrix eigh, both of which scale with
+spdim and cancel the amortization gain of a longer stretch. Closing the gap
+requires moving the thick restart itself into the kernel (blocked on an
+in-kernel eigh) — a different design, not a tune of this one. The fused XLA
+path (`ops/fused_cg.py`, via `solvers/defcg.py`) remains the production
+eigDef-PCG.
 """
 
 from __future__ import annotations
