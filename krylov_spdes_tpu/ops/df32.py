@@ -9,6 +9,18 @@ with all operands and operations in f32. Used by solvers/refine.py to certify
 the reference tolerance on chip (VERDICT r1 item 10).
 
 All functions are elementwise on arrays and jit/vmap-friendly.
+
+BACKEND CAVEAT (measured, round 4): error-free transforms require every
+mul/add to round to f32. XLA:TPU honors that under jit (verified on chip:
+jitted two_sum/two_prod exact, df_contract ~1e-13). XLA:CPU does NOT — its
+LLVM codegen contracts mul±add into FMA inside fused loops regardless of
+--xla_cpu_enable_fast_math / optimization_barrier / reduce_precision /
+bitcast anchors (all elided; verified: jit(a*b+h) == fma(a,b,h) on CPU), so
+under jit on CPU the df32 accumulation silently degrades to plain-f32
+accuracy. Eager CPU execution (op-by-op dispatch) stays exact. The residual
+evaluators below therefore branch at trace time: df32 on strict backends
+(TPU — the production target), true-f64 evaluation on CPU where f64 is
+native anyway (and is what the reference computes).
 """
 
 from __future__ import annotations
@@ -17,6 +29,24 @@ import jax
 import jax.numpy as jnp
 
 _SPLIT = 4097.0        # 2**12 + 1, Veltkamp constant for f32 (24-bit mantissa)
+
+
+def strict_f32_rounding() -> bool:
+    """True when the active backend rounds every HLO f32 op (TPU; verified
+    on chip). False on CPU, whose LLVM codegen FMA-contracts inside fusions
+    (see module docstring) — residual evaluators then use the f64 path."""
+    return jax.default_backend() != "cpu"
+
+
+def _f64(x):
+    return jnp.asarray(x).astype(jnp.float64)
+
+
+def _split_pair(r64, like):
+    """f64 value -> (hi, lo) f32 pair (exact two-term split)."""
+    rh = r64.astype(like.dtype)
+    rl = (r64 - rh.astype(jnp.float64)).astype(like.dtype)
+    return rh, rl
 
 
 def two_sum(a, b):
@@ -65,13 +95,182 @@ def df_dot_accumulate(acc_h, acc_l, a, b):
     return h, l
 
 
+def df_contract(A, xh, xl, unroll: int = 8):
+    """y = Σ_n A[..., n] · x[..., n] evaluated in df32, batched over the
+    leading axes of A.
+
+    A is plain f32 with shape (..., n); (xh, xl) is a df32 pair whose shape
+    broadcasts against A's (so a batched matvec passes x as (..., 1, n)).
+    Returns the df32 pair (yh, yl) of shape A.shape[:-1].
+
+    The hi·hi products are exact TwoProds and the accumulation is a df32
+    (compensated) sum, so the result carries ~n·eps² ≈ 1e-11 relative error
+    instead of the ~√n·eps ≈ 1e-6 of a plain f32 contraction — accurate
+    enough to certify the reference tolerance ‖r‖ ≤ 1e-7‖b‖
+    (RecyclingKrylovSolvers/cg.jl:33-35) on f32 hardware. One lax.scan over
+    the contraction axis (unrolled ×8); runs on the VPU, so it is reserved
+    for once-per-refinement-sweep residual evaluation, never the solve loop.
+    """
+    At = jnp.moveaxis(A, -1, 0)
+    Xh = jnp.moveaxis(jnp.asarray(xh), -1, 0)
+    Xl = jnp.moveaxis(jnp.asarray(xl), -1, 0)
+    acc = jnp.zeros(A.shape[:-1], A.dtype)
+
+    def step(carry, inp):
+        h, l = carry
+        a, xhi, xli = inp
+        p, pe = two_prod(a, xhi)
+        h, l = df_add(h, l, p, pe)
+        cross = a * xli                       # second-order, plain f32
+        h, l = df_add(h, l, cross, jnp.zeros_like(cross))
+        return (h, l), None
+
+    (yh, yl), _ = jax.lax.scan(step, (acc, acc), (At, Xh, Xl), unroll=unroll)
+    return yh, yl
+
+
+def df_matvec(A, xh, xl):
+    """Batched df32 dense matvec: A (..., m, n) · x (..., n) → (..., m)."""
+    return df_contract(A, xh[..., None, :], xl[..., None, :])
+
+
+def ell_residual_df32(A, bh, bl, xh, xl):
+    """r = b − A x in df32 for any fixed-sparsity SparseOp (ELL view).
+
+    The general-operator counterpart of stencil_residual_df32: two row
+    gathers (exact) + an unrolled k-axis df32 accumulation (k = max row
+    degree ≈ 9 for P1 meshes). Extends certified-1e-7 refinement
+    (solvers/refine.py) to unstructured meshes and to the solvers that run
+    on CSR/ELL operators (the recycler family, ex17).
+
+    On CPU the same quantity is evaluated in native f64 instead (module
+    docstring: CPU codegen breaks EFTs under jit; f64 is stronger anyway)."""
+    if not strict_f32_rounding():
+        data_pad = jnp.concatenate([_f64(A.data), jnp.zeros((1,),
+                                                           jnp.float64)])
+        d = data_pad[A.ell_idx]
+        x64 = _f64(xh) + _f64(xl)
+        r64 = _f64(bh) + _f64(bl) - jnp.sum(d * x64[A.ell_cols], axis=1)
+        return _split_pair(r64, bh)
+    data_pad = jnp.concatenate([A.data, jnp.zeros((1,), A.data.dtype)])
+    d = data_pad[A.ell_idx]                   # (n, k)
+    xgh = xh[A.ell_cols]
+    xgl = xl[A.ell_cols]
+    acc_h, acc_l = df_add(bh, jnp.zeros_like(bh), bl, jnp.zeros_like(bl))
+    for k in range(d.shape[1]):
+        acc_h, acc_l = df_dot_accumulate(acc_h, acc_l, -d[:, k], xgh[:, k])
+        cross = -d[:, k] * xgl[:, k]
+        acc_h, acc_l = df_add(acc_h, acc_l, cross, jnp.zeros_like(cross))
+    return acc_h, acc_l
+
+
+def build_gamma_pullback(gammad_to_gamma, gmask, n_gamma: int):
+    """Host-side inverse of the DD interface scatter: for each global Γ node,
+    the flat (dom·nG) slots that contribute to it, padded to the max
+    multiplicity with an index pointing at a trailing zero slot.
+
+    A scatter-add of f32 values rounds each partial sum (~eps·|term|, which
+    can reach the 1e-7 certification budget); pulling the ≤mult terms back
+    per node lets the sum run in df32 instead (exact). mult is the max
+    number of subdomains sharing a node (≈2 on edges, 3-6 at cross points).
+    """
+    import numpy as np
+    g2g = np.asarray(gammad_to_gamma)
+    msk = np.asarray(gmask) > 0.5
+    ndom, nG = g2g.shape
+    flat = np.flatnonzero(msk.reshape(-1))
+    tgt = g2g.reshape(-1)[flat]
+    order = np.argsort(tgt, kind="stable")
+    tgt, flat = tgt[order], flat[order]
+    counts = np.bincount(tgt, minlength=n_gamma)
+    mult = int(counts.max()) if counts.size else 1
+    pull = np.full((n_gamma, mult), ndom * nG, dtype=np.int32)  # pad slot
+    pos = np.arange(tgt.size) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+    pull[tgt, pos] = flat
+    return jnp.asarray(pull)
+
+
+def dd_residual_df32(A_II, A_IG, A_GGd, gammad_to_gamma, gmask, pullback,
+                     b_I, b_G, uIh, uIl, uGh, uGl):
+    """Full DD-system residual in df32 for the Schur-condensed solve.
+
+    The reference solves the interface system S u_Γ = b_s to ‖r_s‖ ≤
+    1e-7‖b_s‖ in f64 (Example07_PcgSchurStochasticEllipticPde.jl:86-424 with
+    cg.jl:33-35). S contains A_II⁻¹, which has no exact df32 form — but the
+    FULL system residual
+
+        r_I = b_I − A_II u_I − A_IΓ u_Γ|d          (per subdomain)
+        r_Γ = b_Γ − Σ_d scatter_d(A_IΓᵀ u_I + A_ΓΓd u_Γ|d)
+
+    is plain batched contractions, and when u_I solves the interior systems
+    exactly, ‖(r_I, r_Γ)‖ reduces to the interface residual ‖b_s − S u_Γ‖.
+    Certifying the full system at 1e-7 is therefore the (stronger) chip-side
+    counterpart of the reference criterion. Inputs: raw assembled DD blocks
+    (fem/dd.py::assemble_dd_values), pullback from build_gamma_pullback,
+    df32 pairs for interior (ndom, nI) and interface (n_gamma,) iterates.
+    Returns ((rI_h, rI_l), (rG_h, rG_l)). On CPU the evaluation runs in
+    native f64 instead (module docstring)."""
+    if not strict_f32_rounding():
+        uI64 = _f64(uIh) + _f64(uIl)
+        uG64 = _f64(uGh) + _f64(uGl)
+        gm64 = _f64(gmask)
+        xd64 = uG64[gammad_to_gamma] * gm64
+        rI64 = _f64(b_I) - jnp.einsum("dij,dj->di", _f64(A_II), uI64) \
+            - jnp.einsum("dig,dg->di", _f64(A_IG), xd64)
+        sd64 = (jnp.einsum("dig,di->dg", _f64(A_IG), uI64)
+                + jnp.einsum("dgh,dh->dg", _f64(A_GGd), xd64)) * gm64
+        rG64 = _f64(b_G) - jnp.zeros(b_G.shape, jnp.float64).at[
+            gammad_to_gamma.reshape(-1)].add((sd64 * gm64).reshape(-1))
+        return (_split_pair(rI64, b_I), _split_pair(rG64, b_G))
+    xdh = uGh[gammad_to_gamma] * gmask        # gather + {0,1} mask: exact
+    xdl = uGl[gammad_to_gamma] * gmask
+
+    # r_I = b_I − A_II u_I − A_IΓ x_d
+    th, tl = df_matvec(A_II, uIh, uIl)
+    sh, sl = df_matvec(A_IG, xdh, xdl)
+    rI_h, rI_l = df_add(b_I, jnp.zeros_like(b_I), -th, -tl)
+    rI_h, rI_l = df_add(rI_h, rI_l, -sh, -sl)
+
+    # s_d = A_IΓᵀ u_I + A_ΓΓd x_d  (per-dom interface contributions)
+    u1h, u1l = df_contract(jnp.swapaxes(A_IG, -1, -2),
+                           uIh[..., None, :], uIl[..., None, :])
+    u2h, u2l = df_matvec(A_GGd, xdh, xdl)
+    sdh, sdl = df_add(u1h * gmask, u1l * gmask, u2h * gmask, u2l * gmask)
+
+    # r_Γ = b_Γ − Σ contributions, summed in df32 through the pullback table
+    fh = jnp.concatenate([sdh.reshape(-1), jnp.zeros((1,), sdh.dtype)])
+    fl = jnp.concatenate([sdl.reshape(-1), jnp.zeros((1,), sdl.dtype)])
+    gh = fh[pullback]                         # (n_gamma, mult)
+    gl = fl[pullback]
+    rG_h, rG_l = df_add(b_G, jnp.zeros_like(b_G),
+                        jnp.zeros_like(b_G), jnp.zeros_like(b_G))
+    for j in range(pullback.shape[1]):
+        rG_h, rG_l = df_add(rG_h, rG_l, -gh[:, j], -gl[:, j])
+    return (rI_h, rI_l), (rG_h, rG_l)
+
+
 def stencil_residual_df32(planes, dir_diag, H: int, W: int, bh, bl, xh, xl):
     """r = b − A x in df32 for a 9-plane stencil operator.
 
     planes/dir_diag are plain f32; x and b are df32 pairs (flat vectors).
     The hi·hi products use TwoProd; the lo cross terms are second-order and
-    accumulate in plain f32. Returns the df32 pair (rh, rl)."""
+    accumulate in plain f32. Returns the df32 pair (rh, rl). On CPU the
+    evaluation runs in native f64 instead (module docstring)."""
     from .stencil import OFFSETS
+    if not strict_f32_rounding():
+        x64 = (_f64(xh) + _f64(xl)).reshape(H, W)
+        xp64 = jnp.pad(x64, 1)
+        acc = _f64(bh).reshape(H, W) + _f64(bl).reshape(H, W)
+        p064 = _f64(planes[0]) + _f64(dir_diag)
+        for k in range(9):
+            pk = p064 if k == 0 else _f64(planes[k])
+            di, dj = OFFSETS[k]
+            sh = x64 if k == 0 else jax.lax.dynamic_slice(
+                xp64, (1 + di, 1 + dj), (H, W))
+            acc = acc - pk * sh
+        rh, rl = _split_pair(acc.reshape(-1), bh)
+        return rh, rl
     x2h = xh.reshape(H, W)
     x2l = xl.reshape(H, W)
     xph = jnp.pad(x2h, 1)

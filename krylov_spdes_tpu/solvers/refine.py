@@ -23,7 +23,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.df32 import df_add, stencil_residual_df32
+from ..ops.df32 import (build_gamma_pullback, dd_residual_df32, df_add,
+                        ell_residual_df32, stencil_residual_df32)
 from ..ops.stencil import StencilOp
 from .base import SolveResult, as_precond_op
 from .cg import _pcg_impl
@@ -82,3 +83,172 @@ def refined_pcg(St: StencilOp, b, M=None, rtol: float = 1e-7,
     r.refines = int(k)
     r.x_df32 = (xh, xl)
     return r
+
+
+@partial(jax.jit, static_argnames=("inner_maxit", "max_refine"))
+def _refined_sparse_impl(A, M, b, rtol, inner_rtol, inner_maxit, max_refine):
+    from jax.tree_util import Partial
+    from ..ops.sparse import ell_spmv
+    Aop = Partial(ell_spmv, A)
+
+    bnorm = jnp.linalg.norm(b)
+    tol = rtol * bnorm
+    zero = jnp.zeros_like(b)
+
+    def residual(xh, xl):
+        return ell_residual_df32(A, b, zero, xh, xl)
+
+    def cond(c):
+        return (c["res"] > tol) & (c["k"] < max_refine)
+
+    def body(c):
+        d, it, _ = _pcg_impl(Aop, M, c["rh"], zero, inner_maxit, inner_rtol)
+        xh, xl = df_add(c["xh"], c["xl"], d, jnp.zeros_like(d))
+        rh, rl = residual(xh, xl)
+        return dict(xh=xh, xl=xl, rh=rh, rl=rl,
+                    res=jnp.linalg.norm(rh), k=c["k"] + 1,
+                    its=c["its"] + it)
+
+    rh0, rl0 = residual(zero, zero)
+    c0 = dict(xh=zero, xl=zero, rh=rh0, rl=rl0,
+              res=jnp.linalg.norm(rh0), k=jnp.int32(0), its=jnp.int32(0))
+    c = jax.lax.while_loop(cond, body, c0)
+    return c["xh"], c["xl"], c["res"], c["k"], c["its"]
+
+
+def refined_pcg_sparse(A, b, M=None, rtol: float = 1e-7,
+                       inner_rtol: float = 1e-5, inner_maxit: int = 4000,
+                       max_refine: int = 8):
+    """Certified-1e-7 PCG for any fixed-sparsity SparseOp (unstructured
+    meshes, CSR/ELL operators). Same refinement loop as refined_pcg with the
+    residual evaluated by ops/df32.ell_residual_df32 — generalizes the
+    reference tolerance (cg.jl:33-35) beyond the structured stencil path."""
+    b = jnp.asarray(b)
+    xh, xl, res, k, its = _refined_sparse_impl(
+        A, as_precond_op(M), b, jnp.asarray(rtol, b.dtype),
+        jnp.asarray(inner_rtol, b.dtype), inner_maxit, max_refine)
+    r = SolveResult(x=xh + xl, it=its, res_norm=jnp.stack([res]), W=None)
+    r.refines = int(k)
+    r.x_df32 = (xh, xl)
+    return r
+
+
+@jax.jit
+def _dd_residual_and_norm(A_II, A_IG, A_GGd, g2g, gmask, imask, pull,
+                          b_I, b_G, uIh, uIl, uGh, uGl):
+    (rIh, rIl), (rGh, rGl) = dd_residual_df32(
+        A_II, A_IG, A_GGd, g2g, gmask, pull, b_I, b_G, uIh, uIl, uGh, uGl)
+    rIh = rIh * imask
+    rIl = rIl * imask
+    res = jnp.sqrt(jnp.sum(rIh * rIh) + jnp.sum(rGh * rGh))
+    return rIh, rIl, rGh, rGl, res
+
+
+def refined_dd_pcg(plan, S, op, b_I, b_G, A_II, A_IG, A_GGd, M=None,
+                   rtol: float = 1e-7, inner_rtol: float = 1e-5,
+                   inner_maxit: int = 2000, max_refine: int = 8):
+    """Schur-DD solve certified at the reference tolerance on f32 hardware.
+
+    The reference runs the interface PCG to ‖r_s‖ ≤ 1e-7‖b_s‖ in f64
+    (Example07_PcgSchurStochasticEllipticPde.jl:86-424, cg.jl:33-35). Here
+    each refinement sweep condenses the current FULL-system df32 residual
+    (r_I, r_Γ) through the f32 Schur machinery (fem/schur.py), solves the
+    interface correction with PCG at inner_rtol, back-substitutes the
+    interiors, and df32-accumulates — stopping when the full-system residual
+    is certified below rtol·‖(b_I, b_Γ)‖ (see ops/df32.dd_residual_df32 for
+    why the full system is the right certified surrogate of the interface
+    criterion).
+
+    plan/S: DD assembly plan + SchurOperator (masks + index maps);
+    op: the operator the inner interface PCG iterates (S itself or the
+    assembled-Sd fast apply); A_II/A_IG/A_GGd: raw assembled DD blocks;
+    M: interface preconditioner. Returns a SolveResult on (u_Γ, u_I): `x` is
+    the interface iterate, `it` total inner interface iterations, `refines`
+    the sweep count, `res_norm[0]` the certified absolute full residual,
+    and `.u_I`/`.x_df32` the df32 interior/interface pairs."""
+    from ..fem.schur import get_schur_rhs, get_subdomain_solutions
+    im = plan.imask
+    gm = plan.gmask
+    A_IIm = A_II * im[:, :, None] * im[:, None, :]
+    A_IGm = A_IG * im[:, :, None] * gm[:, None, :]
+    A_GGm = A_GGd * gm[:, :, None] * gm[:, None, :]
+    b_Im = b_I * im
+    pull = build_gamma_pullback(S.gammad_to_gamma, S.gmask, S.n_gamma)
+    bnorm = float(jnp.sqrt(jnp.sum(b_Im * b_Im) + jnp.sum(b_G * b_G)))
+
+    uIh = jnp.zeros_like(b_Im)
+    uIl = jnp.zeros_like(b_Im)
+    uGh = jnp.zeros_like(b_G)
+    uGl = jnp.zeros_like(b_G)
+    its = 0
+    res = bnorm
+    k = 0
+    from .cg import pcg
+    for k in range(max_refine + 1):
+        rIh, rIl, rGh, rGl, resv = _dd_residual_and_norm(
+            A_IIm, A_IGm, A_GGm, S.gammad_to_gamma, S.gmask, im, pull,
+            b_Im, b_G, uIh, uIl, uGh, uGl)
+        res = float(resv)
+        if res <= rtol * bnorm or k == max_refine:
+            break
+        r_s = get_schur_rhs(S, rIh, rGh)
+        d = pcg(op, r_s, M=M, rtol=inner_rtol, maxit=inner_maxit)
+        d_I = get_subdomain_solutions(S, d.x, rIh)
+        uGh, uGl = df_add(uGh, uGl, d.x, jnp.zeros_like(d.x))
+        uIh, uIl = df_add(uIh, uIl, d_I, jnp.zeros_like(d_I))
+        its += int(d.it)
+
+    r = SolveResult(x=uGh + uGl, it=jnp.int32(its),
+                    res_norm=jnp.asarray([res]), W=None)
+    r.refines = k
+    r.x_df32 = (uGh, uGl)
+    r.u_I = (uIh, uIl)
+    r.bnorm = bnorm
+    return r
+
+
+def refined_recycled_solve(A, b, first_solve, correct_W=None, M=None,
+                           rtol: float = 1e-7, inner_rtol: float = 1e-5,
+                           inner_maxit: int = 2000, max_refine: int = 8):
+    """Certified-1e-7 wrapper around a recycling deflated solve (ex17's
+    chip arms). `first_solve()` runs the method's full solve (eigPCG seed or
+    an RR/HR/TR/LO-TR recycler, solvers/recyclers.py) at the f32-effective
+    inner_rtol; refinement sweeps then solve correction systems A d = r on
+    the df32 TRUE residual with Def-PCG deflated by the basis the first
+    solve returned (W is NOT re-harvested during corrections — the recycled
+    basis handed to the next chain sample is the main solve's, matching the
+    once-per-sample update of Example17..._Functions.jl:87-382).
+
+    A must be a SparseOp (the df32 residual rides its ELL view). Returns the
+    first solve's SolveResult with x/W replaced by the refined iterate and
+    carrying `refines`, `certified_res` (absolute) and total `it`."""
+    from .defcg import defpcg
+    from .cg import pcg
+    b = jnp.asarray(b)
+    bnorm = float(jnp.linalg.norm(b))
+    r0 = first_solve()
+    W = r0.W if correct_W is None else correct_W
+    xh = r0.x
+    xl = jnp.zeros_like(xh)
+    its = int(r0.it)
+    zero = jnp.zeros_like(b)
+    res = bnorm
+    k = 0
+    for k in range(max_refine + 1):
+        rh, rl = ell_residual_df32(A, b, zero, xh, xl)
+        res = float(jnp.linalg.norm(rh))
+        if res <= rtol * bnorm or k == max_refine:
+            break
+        if W is not None:
+            d = defpcg(A, rh, W=W, M=M, rtol=inner_rtol, maxit=inner_maxit)
+        else:
+            d = pcg(A, rh, M=M, rtol=inner_rtol, maxit=inner_maxit)
+        xh, xl = df_add(xh, xl, d.x, jnp.zeros_like(d.x))
+        its += int(d.it)
+
+    out = SolveResult(x=xh + xl, it=jnp.int32(its),
+                      res_norm=jnp.asarray([res]), W=r0.W)
+    out.refines = k
+    out.x_df32 = (xh, xl)
+    out.bnorm = bnorm
+    return out

@@ -1,0 +1,263 @@
+"""On-chip validation of the df32 certification machinery.
+
+The CPU test suite cannot exercise the df32 strict path under compilation
+(XLA:CPU FMA-contracts inside fused loops — ops/df32.py module docstring),
+so this script runs the accuracy and certification claims ON THE TPU where
+they are production paths, checking every result against an f64 numpy
+oracle computed host-side:
+
+  1. strict rounding probe:     jit(a*b + h) must equal fl32(fl32(ab) + h)
+  2. df_contract (scan path):   ~n·eps² accuracy under jit
+  3. ell_residual_df32:         ~1e-12·scale vs f64 oracle
+  4. stencil_residual_df32:     ~1e-12·scale vs f64 oracle
+  5. dd_residual_df32:          ~1e-11·scale vs f64 oracle
+  6. refined_pcg_sparse:        TRUE relative residual ≤ 1e-7
+  7. refined_pcg (stencil):     TRUE relative residual ≤ 1e-7
+  8. refined_dd_pcg:            TRUE full-system relative residual ≤ 1e-7
+  9. refined_recycled_solve:    TRUE relative residual ≤ 1e-7
+
+Run: python tools/chip_validate_df32.py   (on the tunneled chip).
+Exit code 0 iff every check passes; prints one line per check.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+PASS = True
+
+
+def check(name, ok, detail):
+    global PASS
+    PASS = PASS and bool(ok)
+    print(f"[{'PASS' if ok else 'FAIL'}] {name}: {detail}", flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.tree_util import Partial
+
+    print("backend:", jax.default_backend(), jax.devices(), flush=True)
+    from krylov_spdes_tpu.ops import df32
+    assert df32.strict_f32_rounding(), "expected a strict backend (TPU)"
+
+    rng = np.random.default_rng(1)
+
+    # 1. strict rounding probe
+    N = 4096
+    a = rng.normal(size=N).astype(np.float32)
+    b = rng.normal(size=N).astype(np.float32)
+    p = (a * b).astype(np.float32)
+    h0 = (-p + (rng.normal(size=N) * 1e-9).astype(np.float32)).astype(
+        np.float32)
+    got = np.asarray(jax.jit(lambda a, b, h: a * b + h)(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(h0)))
+    want = (p + h0).astype(np.float32)
+    check("strict mul+add rounding", np.array_equal(got, want),
+          f"maxdiff {np.abs(got - want).max():.2e}")
+
+    # 2. df_contract under jit
+    A = rng.normal(size=(4, 37, 53)).astype(np.float32)
+    xh = rng.normal(size=(4, 1, 53)).astype(np.float32)
+    xl = (rng.normal(size=(4, 1, 53)) * 1e-8).astype(np.float32)
+    yh, yl = jax.jit(df32.df_contract)(jnp.asarray(A), jnp.asarray(xh),
+                                       jnp.asarray(xl))
+    x64 = (xh.astype(np.float64) + xl.astype(np.float64))[:, 0]
+    y64 = np.einsum("dmn,dn->dm", A.astype(np.float64), x64)
+    err = np.abs(np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+                 - y64).max()
+    check("df_contract jit", err <= 1e-11 * (np.abs(y64).max() + 1),
+          f"abs err {err:.2e}")
+
+    # shared FEM fixtures (host-side f64 setup, f32 operators)
+    from krylov_spdes_tpu.fem.mesh import get_mesh
+    from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+    from krylov_spdes_tpu.fem.assembly import (
+        prepare_elliptic_assembly, do_isotropic_elliptic_assembly)
+
+    def fsrc(x, y):
+        return -1.0 + 0.0 * x
+
+    def uex(x, y):
+        return 0.0 * x
+
+    mesh = get_mesh(3600, jitter=0.15, seed=2)
+    maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+    asm = prepare_elliptic_assembly(mesh.cells, mesh.points, maps, fsrc, uex)
+    coeff = np.exp(1.2 * rng.normal(size=mesh.nnode))
+    A_op, b_vec = do_isotropic_elliptic_assembly(asm, coeff)
+    A64 = np.zeros((A_op.n_rows, A_op.n_cols))
+    A64[np.asarray(A_op.rows), np.asarray(A_op.indices)] = \
+        np.asarray(A_op.data, np.float64)
+    b64 = np.asarray(b_vec, np.float64)
+    bnorm = np.linalg.norm(b64)
+
+    # 3. ELL residual
+    x = rng.normal(size=A_op.n_rows).astype(np.float32)
+    xl1 = (rng.normal(size=A_op.n_rows) * 1e-8).astype(np.float32)
+    rh, rl = jax.jit(df32.ell_residual_df32)(
+        A_op, b_vec, jnp.zeros_like(b_vec), jnp.asarray(x), jnp.asarray(xl1))
+    r_true = b64 - A64 @ (x.astype(np.float64) + xl1.astype(np.float64))
+    scale = np.abs(A64 @ x.astype(np.float64)).max()
+    err = np.abs(np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
+                 - r_true).max()
+    check("ell_residual_df32 jit", err <= 1e-11 * scale,
+          f"abs err {err:.2e} (scale {scale:.1e})")
+
+    # 4. stencil residual
+    from krylov_spdes_tpu.ops.stencil import build_stencil_op, to_full_vector
+    m1 = int(round(np.sqrt(mesh.nnode)))
+    St = build_stencil_op(A_op, maps, (m1, m1))
+    bf = to_full_vector(maps, b_vec, mesh.nnode)
+    xf = rng.normal(size=St.n).astype(np.float32)
+    rh, rl = jax.jit(df32.stencil_residual_df32, static_argnums=(2, 3))(
+        St.planes, St.dir_diag, St.H, St.W, bf, jnp.zeros_like(bf),
+        jnp.asarray(xf), jnp.zeros_like(jnp.asarray(xf)))
+    import jax as _j
+    eye_apply = _j.vmap(lambda e: St(e))
+    Afull = np.asarray(eye_apply(jnp.eye(St.n, dtype=St.planes.dtype)),
+                       np.float64).T
+    r_true = np.asarray(bf, np.float64) - Afull @ xf.astype(np.float64)
+    scale = np.abs(Afull @ xf.astype(np.float64)).max() + 1
+    err = np.abs(np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
+                 - r_true).max()
+    check("stencil_residual_df32 jit", err <= 1e-11 * scale,
+          f"abs err {err:.2e}")
+
+    # 5-8. DD fixtures
+    from krylov_spdes_tpu.fem.partition import mesh_partition
+    from krylov_spdes_tpu.fem.dd import (set_subdomains, prepare_dd_assembly,
+                                         assemble_dd_values)
+    from krylov_spdes_tpu.fem.schur import (
+        prepare_schur_operator, assembled_schur_operator,
+        get_schur_rhs, get_subdomain_solutions,
+        prepare_neumann_neumann_schur_precond)
+    ndom = 6
+    epart, _ = mesh_partition(mesh.cells, mesh.points, ndom,
+                              mesh.cell_neighbors)
+    part = set_subdomains(mesh.cells, epart, maps, ndom)
+    plan = prepare_dd_assembly(mesh.cells, mesh.points, epart, part, maps,
+                               fsrc, uex)
+    A_II, A_IG, A_GGd, b_I, b_G = assemble_dd_values(plan,
+                                                     jnp.asarray(coeff))
+    S = prepare_schur_operator(plan, part, A_II, A_IG, A_GGd)
+
+    im = np.asarray(plan.imask, np.float64)
+    gm = np.asarray(plan.gmask, np.float64)
+    A_II64 = np.asarray(A_II, np.float64) * im[:, :, None] * im[:, None, :]
+    A_IG64 = np.asarray(A_IG, np.float64) * im[:, :, None] * gm[:, None, :]
+    A_GG64 = np.asarray(A_GGd, np.float64) * gm[:, :, None] * gm[:, None, :]
+    b_I64 = np.asarray(b_I, np.float64) * im
+    b_G64 = np.asarray(b_G, np.float64)
+    g2g = np.asarray(S.gammad_to_gamma)
+
+    def dd_resid64(uI, uG):
+        xd = uG[g2g] * gm
+        rI = b_I64 - np.einsum("dij,dj->di", A_II64, uI) \
+            - np.einsum("dig,dg->di", A_IG64, xd)
+        sd = (np.einsum("dig,di->dg", A_IG64, uI)
+              + np.einsum("dgh,dh->dg", A_GG64, xd)) * gm
+        rG = b_G64.copy()
+        np.subtract.at(rG, g2g.reshape(-1), sd.reshape(-1))
+        return rI * im, rG
+
+    pull = df32.build_gamma_pullback(S.gammad_to_gamma, S.gmask, S.n_gamma)
+    uI = (rng.normal(size=b_I.shape) * im).astype(np.float32)
+    uG = rng.normal(size=b_G.shape).astype(np.float32)
+    (rIh, rIl), (rGh, rGl) = jax.jit(df32.dd_residual_df32)(
+        jnp.asarray(A_II64.astype(np.float32)),
+        jnp.asarray(A_IG64.astype(np.float32)),
+        jnp.asarray(A_GG64.astype(np.float32)),
+        S.gammad_to_gamma, S.gmask, pull, jnp.asarray(b_I64, jnp.float32),
+        b_G, jnp.asarray(uI), jnp.zeros_like(b_I), jnp.asarray(uG),
+        jnp.zeros_like(b_G))
+    # oracle on the f32-rounded masked blocks
+    A_II64r = A_II64.astype(np.float32).astype(np.float64)
+    A_IG64r = A_IG64.astype(np.float32).astype(np.float64)
+    A_GG64r = A_GG64.astype(np.float32).astype(np.float64)
+    xd = uG.astype(np.float64)[g2g] * gm
+    rI_ref = b_I64.astype(np.float32).astype(np.float64) \
+        - np.einsum("dij,dj->di", A_II64r, uI.astype(np.float64)) \
+        - np.einsum("dig,dg->di", A_IG64r, xd)
+    sd = (np.einsum("dig,di->dg", A_IG64r, uI.astype(np.float64))
+          + np.einsum("dgh,dh->dg", A_GG64r, xd)) * gm
+    rG_ref = b_G64.copy()
+    np.subtract.at(rG_ref, g2g.reshape(-1), sd.reshape(-1))
+    scale = max(np.abs(sd).max(), np.abs(rI_ref).max(), 1.0)
+    errI = np.abs((np.asarray(rIh, np.float64) + np.asarray(rIl, np.float64)
+                   - rI_ref) * im).max()
+    errG = np.abs(np.asarray(rGh, np.float64) + np.asarray(rGl, np.float64)
+                  - rG_ref).max()
+    check("dd_residual_df32 jit", max(errI, errG) <= 1e-10 * scale,
+          f"abs err I {errI:.2e} G {errG:.2e} (scale {scale:.1e})")
+
+    # 6. refined_pcg_sparse
+    from krylov_spdes_tpu.solvers.refine import (
+        refined_pcg, refined_pcg_sparse, refined_dd_pcg,
+        refined_recycled_solve)
+    dinv = jnp.asarray(1.0 / A64.diagonal().astype(np.float32))
+    M = Partial(lambda d, r: d * r, dinv)
+    r = refined_pcg_sparse(A_op, b_vec, M=M, rtol=1e-7, inner_rtol=1e-5)
+    x64s = (np.asarray(r.x_df32[0], np.float64)
+            + np.asarray(r.x_df32[1], np.float64))
+    relres = np.linalg.norm(b64 - A64 @ x64s) / bnorm
+    check("refined_pcg_sparse certifies", relres <= 1e-7,
+          f"true relres {relres:.2e}, {r.refines} sweeps, it={int(r.it)}")
+
+    # 7. refined_pcg (stencil)
+    dinv_f = jnp.asarray(1.0 / np.asarray(St.diagonal(), np.float32))
+    Mf = Partial(lambda d, r: d * r, dinv_f)
+    rr = refined_pcg(St, bf, M=Mf, rtol=1e-7, inner_rtol=1e-5)
+    xs = (np.asarray(rr.x_df32[0], np.float64)
+          + np.asarray(rr.x_df32[1], np.float64))
+    bf64 = np.asarray(bf, np.float64)
+    relres = np.linalg.norm(bf64 - Afull @ xs) / np.linalg.norm(bf64)
+    check("refined_pcg stencil certifies", relres <= 1e-7,
+          f"true relres {relres:.2e}, {rr.refines} sweeps")
+
+    # 8. refined_dd_pcg (full system)
+    Mp = prepare_neumann_neumann_schur_precond(S)
+    op = assembled_schur_operator(S)
+    rd = refined_dd_pcg(plan, S, op, b_I, b_G, A_II, A_IG, A_GGd, M=Mp,
+                        rtol=1e-7, inner_rtol=1e-5, inner_maxit=2000)
+    uG64 = (np.asarray(rd.x_df32[0], np.float64)
+            + np.asarray(rd.x_df32[1], np.float64))
+    uI64 = (np.asarray(rd.u_I[0], np.float64)
+            + np.asarray(rd.u_I[1], np.float64))
+    rI, rG = dd_resid64(uI64, uG64)
+    res = np.sqrt((rI ** 2).sum() + (rG ** 2).sum())
+    bn = np.sqrt((b_I64 ** 2).sum() + (b_G64 ** 2).sum())
+    # plain f32 comparison arm
+    from krylov_spdes_tpu.solvers.cg import pcg
+    b_s = get_schur_rhs(S, b_I, b_G)
+    r0 = pcg(op, b_s, M=Mp, rtol=1e-7, maxit=2000)
+    uI0 = np.asarray(get_subdomain_solutions(S, r0.x, b_I), np.float64)
+    rI0, rG0 = dd_resid64(uI0, np.asarray(r0.x, np.float64))
+    res0 = np.sqrt((rI0 ** 2).sum() + (rG0 ** 2).sum())
+    check("refined_dd_pcg certifies", res <= 1e-7 * bn,
+          f"true relres {res / bn:.2e} (plain f32 floors at "
+          f"{res0 / bn:.2e}), {rd.refines} sweeps, it={int(rd.it)}")
+
+    # 9. refined_recycled_solve
+    from krylov_spdes_tpu.solvers.eigcg import eigpcg
+    rrec = refined_recycled_solve(
+        A_op, b_vec,
+        lambda: eigpcg(A_op, b_vec, M=M, nvec=8, spdim=24, maxit=4000,
+                       rtol=1e-5),
+        M=M, rtol=1e-7, inner_rtol=1e-5, inner_maxit=4000)
+    xs = (np.asarray(rrec.x_df32[0], np.float64)
+          + np.asarray(rrec.x_df32[1], np.float64))
+    relres = np.linalg.norm(b64 - A64 @ xs) / bnorm
+    check("refined_recycled_solve certifies", relres <= 1e-7,
+          f"true relres {relres:.2e}, {rrec.refines} sweeps")
+
+    print("ALL PASS" if PASS else "FAILURES PRESENT", flush=True)
+    sys.exit(0 if PASS else 1)
+
+
+if __name__ == "__main__":
+    main()
