@@ -121,6 +121,21 @@ def main():
         cert_res = float(rr.res_norm[0] / jnp.linalg.norm(b_full))
         cert_its, cert_ref = int(rr.it), int(rr.refines)
 
+    # DD-flagship north star at the PROTOCOL config (32k / ndom=30 /
+    # nvec=30 / spdim=90 — Example09 recycled chains x Example07 Schur
+    # operators): steady-state ms per MCMC realization of the full DD chain
+    # step (draw -> stencil DD refill -> condense -> NN -> recycled
+    # eigDef-PCG). Skipped with BENCH_SKIP_DD=1 or if the step fails.
+    dd_ms, dd_vs = None, None
+    if os.environ.get("BENCH_SKIP_DD", "0") != "1":
+        try:
+            dd_ms = _dd_chain_protocol_ms()
+            # round-4 first recorded value pins cross-round drift
+            dd_base = float(os.environ.get("BENCH_DD_BASELINE", 0.0))
+            dd_vs = round(dd_base / dd_ms, 4) if dd_base > 0 else 1.0
+        except Exception as e:          # noqa: BLE001 - report, don't die
+            print(f"# dd-chain metric skipped: {type(e).__name__}: {e}")
+
     # round-1 recorded value (267.5 Gnnz/s on the tunneled v5e chip) pins
     # vs_baseline so cross-round drift is visible
     baseline = float(os.environ.get("BENCH_BASELINE", 267.5e9))
@@ -134,7 +149,67 @@ def main():
         "certified_iters": cert_its,
         "refine_sweeps": cert_ref,
         "path": path,
+        "dd_chain_ms_per_real": (round(dd_ms, 1) if dd_ms is not None
+                                 else None),
+        "dd_chain_config": "32k/ndom30/nvec30/spdim90",
+        "dd_chain_vs_baseline": dd_vs,
     }))
+
+
+def _dd_chain_protocol_ms():
+    """Median steady-state wall time (ms) of one DD-flagship chain
+    realization at the protocol config (BASELINE.md north star)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    cpu = jax.devices("cpu")[0]
+    nnode = int(os.environ.get("BENCH_DD_NNODE", "32000"))
+    ndom = int(os.environ.get("BENCH_DD_NDOM", "30"))
+    nvec = int(os.environ.get("BENCH_DD_NVEC", "30"))
+    spdim = max(3 * ndom, 2 * nvec + 1)
+    maxit = int(os.environ.get("BENCH_DD_MAXIT", "500"))
+
+    with jax.default_device(cpu):
+        from krylov_spdes_tpu.fem.mesh import get_mesh
+        from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+        from krylov_spdes_tpu.fem.dd_stencil import prepare_dd_stencil_assembly
+        from krylov_spdes_tpu.chains import prepare_chain_states
+        mesh = get_mesh(nnode, seed=0)
+        maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+        epart, part, plan = prepare_dd_stencil_assembly(
+            mesh, maps, lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x,
+            ndom)
+        xs, ys = mesh.points[:, 0], mesh.points[:, 1]
+        modes, lams = [], []
+        for a in range(1, 6):
+            for b_ in range(1, 6):
+                modes.append(np.sin(np.pi * a * xs)
+                             * np.sin(np.pi * b_ * ys) * 2)
+                lams.append(np.exp(-0.2 * (a * a + b_ * b_)))
+        psi = np.stack(modes, 1).astype(np.asarray(plan.kflat).dtype)
+        lam = np.asarray(lams, psi.dtype)
+        state = prepare_chain_states(lam, psi, nchains=1)
+    import dataclasses as dc
+    state = dc.replace(state, xi=state.xi[0], g=state.g[0], key=state.key[0])
+    dev = jax.devices()[0]
+    plan = jax.device_put(plan, dev)
+    state = jax.device_put(state, dev)
+
+    from krylov_spdes_tpu.dd_chains import make_dd_chain_step, seed_dd_chain
+    step = make_dd_chain_step(plan, part, nvec=nvec, spdim=spdim, maxit=maxit)
+    W, it0, _ = seed_dd_chain(plan, part, state, nvec, spdim, maxit)
+    int(it0)
+    for _ in range(4):          # recycling warmup to steady state
+        state, W, it, cnt = step(state, W)
+        int(it)
+    times = []
+    for _ in range(5):
+        t0 = _time.time()
+        state, W, it, cnt = step(state, W)
+        int(it)
+        times.append(_time.time() - t0)
+    return sorted(times)[len(times) // 2] * 1e3
 
 
 if __name__ == "__main__":

@@ -32,9 +32,9 @@ def main():
     p.add_argument("--certify", action="store_true",
                    help="solve to the CERTIFIED reference tolerance "
                         "(1e-7, cg.jl:33-35) via df32 iterative refinement "
-                        "(solvers/refine.py) — stencil-op strategies (samg) "
-                        "on f32 backends; recorded iters are total inner "
-                        "iterations")
+                        "(solvers/refine.py) — samg through the stencil "
+                        "residual, amg/lorasc/bj through the ELL one; "
+                        "recorded iters are total inner iterations")
     args = p.parse_args()
     jax = init_backend(args)
     import jax.numpy as jnp
@@ -97,18 +97,22 @@ def main():
     spectra = [] if args.save_spectra else None
 
     if args.certify:
-        from krylov_spdes_tpu.solvers.refine import refined_pcg
+        from krylov_spdes_tpu.solvers.refine import (refined_pcg,
+                                                     refined_pcg_sparse)
         certres = {f"{s}_{mode}": np.zeros(args.nreals)
-                   for s in strategies if s == "samg"
-                   for mode in ("const", "rebuilt")}
+                   for s in strategies for mode in ("const", "rebuilt")}
 
         def solve(Ak, bk, M, key, ireal):
-            if key in certres:
+            # stencil strategies refine through the 9-plane df32 residual;
+            # the general CSR/ELL strategies (amg/lorasc/bj) through the
+            # ELL df32 residual — both certify 1e-7 (cg.jl:33-35)
+            if key.startswith("samg"):
                 r = refined_pcg(Ak, bk, M=M, rtol=1e-7)
-                certres[key][ireal] = float(
-                    r.res_norm[0] / jnp.linalg.norm(bk))
-                return r
-            return pcg(Ak, bk, M=M)
+            else:
+                r = refined_pcg_sparse(Ak, bk, M=M, rtol=1e-7)
+            certres[key][ireal] = float(
+                r.res_norm[0] / jnp.linalg.norm(bk))
+            return r
     else:
         certres = {}
 

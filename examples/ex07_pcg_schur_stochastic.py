@@ -25,6 +25,12 @@ def main():
     p.add_argument("--tag", default=None,
                    help="suffix for the archive filename (e.g. 'chip' to "
                         "keep a chip-side arm separate from the f64 one)")
+    p.add_argument("--certify", action="store_true",
+                   help="solve each arm to the CERTIFIED reference tolerance "
+                        "(1e-7) via df32 full-DD-system iterative refinement "
+                        "(solvers/refine.py::refined_dd_pcg); --rtol becomes "
+                        "the inner f32 interface tolerance and the archive "
+                        "gains per-real certres_* columns")
     args = p.parse_args()
     jax = init_backend(args)
     import jax.numpy as jnp
@@ -61,6 +67,14 @@ def main():
     tag = f".{args.tag}" if args.tag else ""
     names = ["nn_const", "nn_rebuilt", "gamma_chol"]
     iters = {k: np.zeros(args.nreals, dtype=np.int64) for k in names}
+    certres = ({k: np.zeros(args.nreals) for k in names}
+               if args.certify else {})
+    pull = None
+    if args.certify:
+        from krylov_spdes_tpu.ops.df32 import build_gamma_pullback
+        from krylov_spdes_tpu.solvers.refine import refined_dd_pcg
+        pull = build_gamma_pullback(S0.gammad_to_gamma, S0.gmask,
+                                    S0.n_gamma)
     start = 0
     if args.resume:
         import os
@@ -77,6 +91,11 @@ def main():
             for k in names:
                 n = min(start, len(d[k]))
                 iters[k][:n] = d[k][:n]
+            for k in certres:
+                kk = f"certres_{k}"
+                if kk in d.files:
+                    n = min(start, len(d[kk]))
+                    certres[k][:n] = d[kk][:n]
             print(f"resuming from {ckpt}: {start}/{args.nreals} done")
     for ireal in range(args.nreals):
         smp, _ = draw(smp)
@@ -86,23 +105,53 @@ def main():
         A_II, A_IG, A_GGd, b_I, b_G = assemble_dd_values(plan, coeff)
         S = prepare_schur_operator(plan, part, A_II, A_IG, A_GGd)
         b_s = get_schur_rhs(S, b_I, b_G)
+        if args.certify:
+            # the certificate is the df32 FULL-system residual, so the
+            # inner interface solver is purely a speed choice: ride the
+            # assembled-Sd batched apply (computed for the NN rebuild
+            # anyway) instead of per-iteration interior triangular solves
+            from krylov_spdes_tpu.fem.schur import (assemble_local_schurs,
+                                                    assembled_schur_operator)
+            Sd = assemble_local_schurs(S)
+            inner_op = assembled_schur_operator(S, Sd)
+            Pnn_reb = prepare_neumann_neumann_schur_precond(S, Sd=Sd)
+        else:
+            inner_op, Pnn_reb = None, None
         for name, Mp in [("nn_const", Pnn0),
                          ("nn_rebuilt",
+                          Pnn_reb if args.certify else
                           prepare_neumann_neumann_schur_precond(S)),
                          ("gamma_chol", gamma_chol_precond(S))]:
-            r = pcg(S, b_s, M=Mp, rtol=args.rtol)
+            if args.certify:
+                r = refined_dd_pcg(plan, S, inner_op, b_I, b_G,
+                                   A_II, A_IG, A_GGd,
+                                   M=Mp, rtol=1e-7, inner_rtol=args.rtol,
+                                   pull=pull)
+                certres[name][ireal] = float(r.res_norm[0]) / r.bnorm
+            else:
+                r = pcg(S, b_s, M=Mp, rtol=args.rtol)
             iters[name][ireal] = int(r.it)
         print(f"real {ireal}: " + "  ".join(
             f"{k}={iters[k][ireal]}" for k in names), flush=True)
         if (ireal + 1) % 20 == 0 or ireal == args.nreals - 1:
             # periodic checkpoint of the regression surface (deviation #11:
             # long protocols survive interruption; ndone marks validity)
+            cext = ({f"certres_{k}": v for k, v in certres.items()}
+                    if certres else {})
+            if certres:
+                cext["certified_rtol"] = np.float64(1e-7)
             save_npz(args, f"ndom{args.ndom}.ex07.iters{tag}",
-                     ndone=np.int64(ireal + 1), **iters)
+                     ndone=np.int64(ireal + 1), **iters, **cext)
 
     for k, v in iters.items():
         print(f"{k}: mean {v.mean():.1f} ± {v.std():.1f}")
-    save_npz(args, f"ndom{args.ndom}.ex07.iters{tag}", **iters)
+    extra = {}
+    if certres:
+        extra.update({f"certres_{k}": v for k, v in certres.items()})
+        extra["certified_rtol"] = np.float64(1e-7)
+        for k, v in certres.items():
+            print(f"certified relres {k}: max {v.max():.2e}")
+    save_npz(args, f"ndom{args.ndom}.ex07.iters{tag}", **iters, **extra)
 
 
 if __name__ == "__main__":

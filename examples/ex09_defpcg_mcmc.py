@@ -9,8 +9,8 @@ solver breakdown the (A, b, W) fixture is dumped (SURVEY.md §4.5-4.6) and the
 chain checkpoint allows resume instead of discard-and-rerun.
 """
 
-from common import (base_parser, init_backend, build_fem, build_kl, save_npz,
-                    root_fname)
+from common import (base_parser, init_backend, build_fem, build_kl, build_dd,
+                    save_npz, root_fname)
 
 import os
 import numpy as np
@@ -23,6 +23,18 @@ def main():
     p.add_argument("--nvec", type=int, default=None,
                    help="default floor(1.25*ndom) like the reference")
     p.add_argument("--maxit", type=int, default=5000)
+    p.add_argument("--precond", default="amg",
+                   choices=["amg", "lorasc0", "lorasc1", "bj"],
+                   help="constant median preconditioner (built at xi=0): "
+                        "the reference protocol runs lorasc1 = LORASC with "
+                        "eps_threshold 0.01 (Example09:42-51 preconds = "
+                        "['lorasc$(ndom)_1']); lorasc0 = eps 0, bj/amg as "
+                        "in Example06")
+    p.add_argument("--certify", action="store_true",
+                   help="solve every system to the CERTIFIED reference "
+                        "tolerance (1e-7) via df32 refinement on f32 "
+                        "hardware (chip arms); iters are total inner its")
+    p.add_argument("--inner-rtol", type=float, default=1e-5)
     args = p.parse_args()
     jax = init_backend(args)
     import jax.numpy as jnp
@@ -42,13 +54,36 @@ def main():
     mesh, maps, asm = build_fem(args)
     cov, M, lam, psi = build_kl(args, mesh)
 
-    # constant "median" preconditioner
+    # constant "median" preconditioner (reference get_constant_preconds,
+    # Example09..._Functions.jl:10-119)
     A0, _ = do_isotropic_elliptic_assembly(asm, np.ones(mesh.nnode))
-    M0 = amg_precond(A0)
+    if args.precond == "amg":
+        M0 = amg_precond(A0)
+    elif args.precond == "bj":
+        from krylov_spdes_tpu.precond.block_jacobi import (
+            block_jacobi_precond)
+        M0 = block_jacobi_precond(A0, max(2, args.ndom))
+    else:
+        from krylov_spdes_tpu.fem.dd import assemble_dd_values
+        from krylov_spdes_tpu.fem.schur import prepare_schur_operator
+        from krylov_spdes_tpu.precond.dd_preconds import (
+            prepare_lorasc_precond)
+        epart, part, plan = build_dd(args, mesh, maps)
+        blocks0 = assemble_dd_values(plan, jnp.ones(mesh.nnode,
+                                                    plan.kflat.dtype))
+        S0 = prepare_schur_operator(plan, part, *blocks0[:3])
+        M0 = prepare_lorasc_precond(
+            S0, part, maps, nvec=min(25, part.n_gamma // 2 or 1),
+            eps_threshold=0.0 if args.precond == "lorasc0" else 0.01)
+    if args.certify:
+        from krylov_spdes_tpu.solvers.refine import (
+            refined_pcg_sparse, refined_recycled_solve)
 
     methods = ["pcg", "eigpcg", "eigdefpcg", "defpcg"]
     iters = {m: np.zeros((args.nchains, args.nsmp), dtype=np.int64)
              for m in methods}
+    certres = ({m: np.zeros((args.nchains, args.nsmp)) for m in methods}
+               if args.certify else {})
     status = np.zeros(args.nchains, dtype=np.int64)
 
     for ic in range(args.nchains):
@@ -60,23 +95,46 @@ def main():
             A, b = do_isotropic_elliptic_assembly(asm, jnp.exp(smp.g))
             for m in methods:
                 if m == "pcg":
-                    r = pcg(A, b, M=M0, maxit=args.maxit)
+                    first = lambda: pcg(A, b, M=M0, maxit=args.maxit,
+                                        rtol=args.inner_rtol if args.certify
+                                        else None)
                 elif m == "eigpcg":
-                    r = eigpcg(A, b, M=M0, nvec=nvec, spdim=spdim,
-                               maxit=args.maxit)
+                    first = lambda: eigpcg(
+                        A, b, M=M0, nvec=nvec, spdim=spdim,
+                        maxit=args.maxit,
+                        rtol=args.inner_rtol if args.certify else None)
                 elif m == "eigdefpcg":
                     if W[m] is None:
-                        r = eigpcg(A, b, M=M0, nvec=nvec, spdim=spdim,
-                                   maxit=args.maxit)
+                        first = lambda: eigpcg(
+                            A, b, M=M0, nvec=nvec, spdim=spdim,
+                            maxit=args.maxit,
+                            rtol=args.inner_rtol if args.certify else None)
                     else:
-                        r = eigdefpcg(A, b, M=M0, W=W[m], spdim=spdim,
-                                      maxit=args.maxit)
+                        first = lambda Wc=W[m]: eigdefpcg(
+                            A, b, M=M0, W=Wc, spdim=spdim, maxit=args.maxit,
+                            rtol=args.inner_rtol if args.certify else None)
                 else:  # defpcg with the eigpcg-seeded basis
                     if W["eigpcg"] is None:
-                        r = pcg(A, b, M=M0, maxit=args.maxit)
+                        first = lambda: pcg(
+                            A, b, M=M0, maxit=args.maxit,
+                            rtol=args.inner_rtol if args.certify else None)
                     else:
-                        r = defpcg(A, b, W=W["eigpcg"], M=M0,
-                                   maxit=args.maxit)
+                        first = lambda Wc=W["eigpcg"]: defpcg(
+                            A, b, W=Wc, M=M0, maxit=args.maxit,
+                            rtol=args.inner_rtol if args.certify else None)
+                if args.certify and m == "pcg":
+                    r = refined_pcg_sparse(A, b, M=M0, rtol=1e-7,
+                                           inner_rtol=args.inner_rtol,
+                                           inner_maxit=args.maxit)
+                    certres[m][ic, s] = float(
+                        r.res_norm[0] / jnp.linalg.norm(b))
+                elif args.certify:
+                    r = refined_recycled_solve(
+                        A, b, first, M=M0, rtol=1e-7,
+                        inner_rtol=args.inner_rtol, inner_maxit=args.maxit)
+                    certres[m][ic, s] = float(r.res_norm[0]) / r.bnorm
+                else:
+                    r = first()
                 iters[m][ic, s] = int(r.it)
                 if r.failed:
                     path = os.path.join(args.data_dir,
@@ -100,12 +158,28 @@ def main():
                 ckpt, smp,
                 W["eigdefpcg"] if W["eigdefpcg"] is not None else
                 np.zeros((maps.n_free, 0)), s, iters["eigdefpcg"][ic])
+        # periodic archive checkpoint after each completed chain
+        ptag = "" if args.precond == "amg" else f".{args.precond}"
+        save_npz(args, f"ndom{args.ndom}.ex09.iters{ptag}", status=status,
+                 ndone_chain=np.int64(ic + 1),
+                 **{m: iters[m] for m in methods},
+                 **({f"certres_{m}": v for m, v in certres.items()}
+                    if certres else {}))
 
     for m in methods:
         print(f"{m}: mean per-sample iters "
               f"{iters[m].mean(axis=0).round(1)}")
-    save_npz(args, f"ndom{args.ndom}.ex09.iters", status=status,
-             **{m: iters[m] for m in methods})
+    ptag = "" if args.precond == "amg" else f".{args.precond}"
+    extra = {}
+    if certres:
+        extra.update({f"certres_{m}": v for m, v in certres.items()})
+        extra["certified_rtol"] = np.float64(1e-7)
+        for m, v in certres.items():
+            print(f"certified relres {m}: max {v.max():.2e}")
+    save_npz(args, f"ndom{args.ndom}.ex09.iters{ptag}", status=status,
+             nchains=np.int64(args.nchains), nsmp=np.int64(args.nsmp),
+             nvec=np.int64(nvec), spdim=np.int64(spdim),
+             **{m: iters[m] for m in methods}, **extra)
 
 
 if __name__ == "__main__":

