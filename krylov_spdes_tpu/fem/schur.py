@@ -22,7 +22,7 @@ the Neumann-Neumann preconditioner (:1111-1403):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial, wraps
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -32,19 +32,14 @@ from jax.tree_util import Partial
 from .dd import DDAssemblyPlan, DDPartition
 
 
-def f32_exact(fn):
-    """TPU matmuls default to bf16 passes; the DD condensation contracts over
-    nI ~ thousands of interior nodes, so at DEFAULT precision the Schur
-    blocks / NN pinv carry ~1e-3 relative error and chip f32 solves stall at
-    maxit instead of reaching the 1e-5 floor (measured at 65k/32dom). Force
-    HIGHEST (6-pass, f32-exact) for all DD algebra — these contractions are
-    tiny next to the solve loop, so the extra passes are noise. No-op on
-    CPU/f64."""
-    @wraps(fn)
-    def wrapped(*a, **k):
-        with jax.default_matmul_precision("highest"):
-            return fn(*a, **k)
-    return wrapped
+# TPU matmuls default to bf16 passes; the DD condensation contracts over
+# nI ~ thousands of interior nodes, so at DEFAULT precision the Schur
+# blocks / NN pinv carry ~1e-3 relative error and chip f32 solves stall at
+# maxit instead of reaching the 1e-5 floor (measured at 65k/32dom). The
+# decorator now lives in solvers/base.py (round 4: the same bug class hit
+# the deflated-solver family's WᵀAW projectors) — re-exported here so DD
+# call sites keep their name.
+from ..solvers.base import f32_exact  # noqa: E402,F401
 
 
 @partial(jax.tree_util.register_dataclass,

@@ -29,6 +29,24 @@ def _identity(r):
 import functools
 
 
+def f32_exact(fn):
+    """TPU matmuls default to bf16 passes; contractions that build PROJECTORS
+    (deflation Gram matrices WᵀAW, basis restarts, DD condensations) then
+    carry ~1e-3 relative error and the projected iteration diverges instead
+    of converging — measured on chip: defpcg at default precision runs to
+    maxit with the residual GROWING 15x, at HIGHEST it converges in 146
+    iterations (the same class of bug as the round-3 DD condensation fix,
+    fem/schur.py). Force HIGHEST (6-pass, f32-exact) around the decorated
+    function; gather-based SpMVs and elementwise preconditioners inside are
+    unaffected, and the W-sized matmuls are tiny next to the matvec, so the
+    extra passes are noise. No-op on CPU/f64."""
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **k)
+    return wrapped
+
+
 @functools.lru_cache(maxsize=4096)
 def static_bind(func, *static_args):
     """Bind static (hashable) leading arguments into a function with a STABLE

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import cho_factor, cho_solve
 
+from .base import f32_exact
 from .eig_common import thick_restart_basis
 
 
@@ -50,6 +51,7 @@ def _csolve(cho, rhs):
 
 
 @partial(jax.jit, static_argnames=("nvec", "spdim", "maxit", "basis_dtype"))
+@f32_exact
 def _batched_eigdef_impl(A, mdiag, b, x0, W, nvec, spdim, maxit, rtol,
                          basis_dtype=None, Mop=None):
     """Batched fused-diagonal eigDef-PCG.

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import config
-from .base import SolveResult, as_linear_op, as_precond_op
+from .base import SolveResult, as_linear_op, as_precond_op, f32_exact
 
 
 def _solve_gram(G, B):
@@ -29,6 +29,7 @@ def _solve_gram(G, B):
 
 
 @partial(jax.jit, static_argnames=("maxit",))
+@f32_exact
 def _block_pcg_impl(A, M, B, X0, maxit, rtol):
     n, k = B.shape
     X = X0.astype(B.dtype)

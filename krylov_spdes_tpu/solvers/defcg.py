@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.scipy.linalg import cho_factor, cho_solve
 
 from ..config import config
-from .base import SolveResult, as_linear_op, as_precond_op
+from .base import SolveResult, as_linear_op, as_precond_op, f32_exact
 from .eig_common import thick_restart_basis
 
 
@@ -40,6 +40,7 @@ def _deflation_setup(A, W, x, b):
 
 
 @partial(jax.jit, static_argnames=("maxit",))
+@f32_exact
 def _defcg_impl(A, b, x0, W, maxit, rtol):
     dtype = b.dtype
     x = x0.astype(dtype)
@@ -87,6 +88,7 @@ def defcg(A, b, x=None, W=None, maxit: int = 0,
 
 
 @partial(jax.jit, static_argnames=("maxit",))
+@f32_exact
 def _defpcg_impl(A, M, b, x0, W, maxit, rtol):
     dtype = b.dtype
     x = x0.astype(dtype)
@@ -139,6 +141,7 @@ def defpcg(A, b, x=None, W=None, M=None, maxit: int = 0,
 
 @partial(jax.jit, static_argnames=("nvec", "spdim", "maxit", "precond",
                                    "reorth", "basis_dtype"))
+@f32_exact
 def _eigdef_impl(A, M, b, x0, W, nvec, spdim, maxit, rtol, precond, reorth,
                  mdiag=None, basis_dtype=None):
     """Shared eigdefcg (precond=False) / eigdefpcg (precond=True) body.

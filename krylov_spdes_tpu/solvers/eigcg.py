@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import config
-from .base import SolveResult, as_linear_op, as_precond_op
+from .base import SolveResult, as_linear_op, as_precond_op, f32_exact
 from .eig_common import thick_restart_basis
 
 
@@ -35,6 +35,7 @@ def _apply_rows(A, V):
 
 
 @partial(jax.jit, static_argnames=("nvec", "spdim", "maxit"))
+@f32_exact
 def _eigcg_impl(A, b, x0, nvec, spdim, maxit, rtol):
     dtype = b.dtype
     n = b.shape[0]
@@ -131,6 +132,7 @@ def eigcg(A, b, x=None, nvec: int = 8, spdim: int = 32, maxit: int = 0,
 
 
 @partial(jax.jit, static_argnames=("nvec", "spdim", "maxit"))
+@f32_exact
 def _eigpcg_impl(A, M, b, x0, nvec, spdim, maxit, rtol):
     dtype = b.dtype
     n = b.shape[0]

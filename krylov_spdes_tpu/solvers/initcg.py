@@ -13,11 +13,12 @@ import jax.numpy as jnp
 from jax.scipy.linalg import cho_factor, cho_solve
 
 from ..config import config
-from .base import SolveResult, as_linear_op, as_precond_op
+from .base import SolveResult, as_linear_op, as_precond_op, f32_exact
 from .cg import _cg_impl, _pcg_impl
 
 
 @jax.jit
+@f32_exact
 def deflated_guess(A, b, x0, W):
     """x0 + W (WᵀAW)⁻¹ Wᵀ(b - A x0)."""
     WtA = jax.vmap(A, in_axes=1, out_axes=0)(W)

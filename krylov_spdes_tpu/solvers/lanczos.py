@@ -14,10 +14,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .base import as_linear_op
+from .base import as_linear_op, f32_exact
 
 
 @partial(jax.jit, static_argnames=("nev", "nvec", "which"))
+@f32_exact
 def _lanczos_impl(A, v0, nev, nvec, which):
     n = v0.shape[0]
     dtype = v0.dtype

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.scipy.linalg import cho_factor, cho_solve
 
 from ..config import config
-from .base import SolveResult, as_linear_op, as_precond_op
+from .base import SolveResult, as_linear_op, as_precond_op, f32_exact
 from .eig_common import _sym, ritz_basis_gen, thick_restart_basis_gen
 
 
@@ -46,6 +46,7 @@ def _blockdiag_mask(G, nev):
 
 @partial(jax.jit, static_argnames=("proj", "schedule", "deflated", "nvec",
                                    "spdim", "maxit"))
+@f32_exact
 def _recycler_impl(A, M, b, x0, W, proj, schedule, deflated, nvec, spdim,
                    maxit, rtol):
     dtype = b.dtype

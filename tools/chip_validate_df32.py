@@ -15,6 +15,9 @@ oracle computed host-side:
   7. refined_pcg (stencil):     TRUE relative residual ≤ 1e-7
   8. refined_dd_pcg:            TRUE full-system relative residual ≤ 1e-7
   9. refined_recycled_solve:    TRUE relative residual ≤ 1e-7
+ 10. defpcg on a deflated correction system CONVERGES (the round-4
+     f32_exact fix: at default matmul precision the WᵀAW projector carries
+     bf16 error and the deflated iteration DIVERGES on chip)
 
 Run: python tools/chip_validate_df32.py   (on the tunneled chip).
 Exit code 0 iff every check passes; prints one line per check.
@@ -254,6 +257,16 @@ def main():
     relres = np.linalg.norm(b64 - A64 @ xs) / bnorm
     check("refined_recycled_solve certifies", relres <= 1e-7,
           f"true relres {relres:.2e}, {rrec.refines} sweeps")
+
+    # 10. defpcg convergence on a correction system (bf16-projector guard)
+    from krylov_spdes_tpu.solvers.defcg import defpcg
+    seed = eigpcg(A_op, b_vec, M=M, nvec=8, spdim=24, maxit=4000, rtol=1e-5)
+    rcorr = b_vec - A_op(seed.x)
+    dcorr = defpcg(A_op, rcorr, W=seed.W, M=M, rtol=1e-5, maxit=4000)
+    hist = dcorr.history()
+    drop = float(hist[-1] / hist[0]) if hist.size else 1.0
+    check("defpcg correction converges", int(dcorr.it) < 4000 and drop < 1e-4,
+          f"it={int(dcorr.it)}, res drop {drop:.2e}")
 
     print("ALL PASS" if PASS else "FAILURES PRESENT", flush=True)
     sys.exit(0 if PASS else 1)
