@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fem.mesh import element_geometry
+from ..solvers.base import f32_exact
 from .dd import KLSubdomains, solve_global_reduced_kl
 
 
@@ -174,7 +175,8 @@ def local_kls_device(tables: KLDomTables, points, cov, nev: int,
         return None, dict(lam=lam, phi=phi, rho=rho, m=m_d)
 
     @jax.jit
-    def run(args, energy_target):
+    @f32_exact   # C = M Chat M / Gram contractions: bf16 passes poison the
+    def run(args, energy_target):   # local spectra on chip (deviation #19)
         sc = {k: v.reshape((npad // chunk, chunk) + v.shape[1:])
               for k, v in args.items()}
         sc["tgt"] = energy_target.reshape(npad // chunk, chunk)
@@ -244,7 +246,7 @@ def reduced_covariance_device(tables: KLDomTables, points, rho, cov,
         return K
 
     if mesh is None:
-        K = jax.jit(shard_fn)(jnp.asarray(pp), rho, coords, maskf)
+        K = jax.jit(f32_exact(shard_fn))(jnp.asarray(pp), rho, coords, maskf)
     else:
         from jax.sharding import PartitionSpec as P
         from jax import shard_map
@@ -256,11 +258,11 @@ def reduced_covariance_device(tables: KLDomTables, points, rho, cov,
                          vary_axes=axes)
             return jax.lax.psum(K, axes)
 
-        K = jax.jit(shard_map(
+        K = jax.jit(f32_exact(shard_map(
             sharded, mesh=mesh,
             in_specs=(P(axes), P(), P(), P()),
-            out_specs=P()))(jnp.asarray(pp.reshape(-1, 3)), rho, coords,
-                            maskf)
+            out_specs=P())))(jnp.asarray(pp.reshape(-1, 3)), rho, coords,
+                             maskf)
     return K.transpose(0, 2, 1, 3).reshape(ndom * m_max, ndom * m_max)
 
 
