@@ -25,6 +25,12 @@ def main():
     p.add_argument("--tag", default=None,
                    help="suffix for the archive filename (e.g. 'chip' to "
                         "keep a chip-side arm separate from the f64 one)")
+    p.add_argument("--interiors", default="dense",
+                   choices=["dense", "banded"],
+                   help="subdomain interior factorization: dense batched "
+                        "Cholesky (reference CHOLMOD slot) or RCM-banded "
+                        "block-tridiagonal (fem/dd_banded.py — the "
+                        "unstructured-mesh fast path, O(nI*m^2) vs O(nI^3))")
     p.add_argument("--certify", action="store_true",
                    help="solve each arm to the CERTIFIED reference tolerance "
                         "(1e-7) via df32 full-DD-system iterative refinement "
@@ -48,9 +54,22 @@ def main():
     epart, part, plan = build_dd(args, mesh, maps)
     smp = prepare_mc_sampler(lam, psi, key=args.seed)
 
+    if args.interiors == "banded":
+        from krylov_spdes_tpu.fem.dd_banded import (
+            prepare_banded_interiors, prepare_schur_operator_banded)
+        btab = prepare_banded_interiors(mesh.cells, part, plan)
+        print(f"banded interiors: m={btab.m} nb={btab.nb} "
+              f"(bw max {int(btab.bw.max())}, nI={part.interior_l2g.shape[1]})")
+
+        def make_schur(pl, pt, A_II, A_IG, A_GGd):
+            return prepare_schur_operator_banded(pl, pt, A_II, A_IG, A_GGd,
+                                                 btab)
+    else:
+        make_schur = prepare_schur_operator
+
     blocks0 = assemble_dd_values(plan, jnp.ones(mesh.nnode,
                                                 plan.kflat.dtype))
-    S0 = prepare_schur_operator(plan, part, *blocks0[:3])
+    S0 = make_schur(plan, part, *blocks0[:3])
     Pnn0 = prepare_neumann_neumann_schur_precond(S0)
 
     import jax.scipy.linalg as jsl
@@ -103,7 +122,7 @@ def main():
             continue
         coeff = jnp.exp(smp.g)
         A_II, A_IG, A_GGd, b_I, b_G = assemble_dd_values(plan, coeff)
-        S = prepare_schur_operator(plan, part, A_II, A_IG, A_GGd)
+        S = make_schur(plan, part, A_II, A_IG, A_GGd)
         b_s = get_schur_rhs(S, b_I, b_G)
         if args.certify:
             # the certificate is the df32 FULL-system residual, so the

@@ -40,6 +40,13 @@ EXTRA_DEFAULT_CASES = [
                                 "--L", "0.4"]),
     ("ex07_pcg_schur_stochastic.py", ["--nnode", "400", "--ndom", "4",
                                       "--nreals", "1", "--L", "0.4"]),
+    ("ex07_pcg_schur_stochastic.py", ["--nnode", "400", "--ndom", "4",
+                                      "--nreals", "1", "--L", "0.4",
+                                      "--mesh", "delaunay",
+                                      "--interiors", "banded"]),
+    ("ex09_defpcg_mcmc.py", ["--nnode", "400", "--ndom", "4",
+                             "--nchains", "1", "--nsmp", "2",
+                             "--precond", "lorasc1", "--L", "0.4"]),
     ("ex11_multiple_rhs.py", ["--nnode", "300", "--nreals", "2",
                               "--L", "0.4"]),
     ("ex17_recyclers_mcmc.py", ["--nnode", "400", "--ndom", "4",
