@@ -130,8 +130,9 @@ def main():
     if os.environ.get("BENCH_SKIP_DD", "0") != "1":
         try:
             dd_ms = _dd_chain_protocol_ms()
-            # round-4 first recorded value pins cross-round drift
-            dd_base = float(os.environ.get("BENCH_DD_BASELINE", 0.0))
+            # round-4 recorded value (53.0 ms on the tunneled v5e chip)
+            # pins cross-round drift, like the cg_spmv 267.5 pin
+            dd_base = float(os.environ.get("BENCH_DD_BASELINE", 53.0))
             dd_vs = round(dd_base / dd_ms, 4) if dd_base > 0 else 1.0
         except Exception as e:          # noqa: BLE001 - report, don't die
             print(f"# dd-chain metric skipped: {type(e).__name__}: {e}")

@@ -18,10 +18,23 @@ the dom axis:
   lax.scan of batched (m, m) MXU steps (fem/schur.py::bt_factor_batched).
 
 Interior solves drop from O(nI³) dense triangular algebra to O(nI·m²) with
-m ≈ √nI (2D meshes): at 65k/32dom that is ~25x fewer flops and ~20x less
-factor storage. The reference's counterpart is the per-subdomain CHOLMOD
-factorization (EllipticPdeDomainDecomposition.jl:1518-1537); here the
-factorization itself is batched dense MXU work.
+m ≈ √nI (2D meshes), and factor storage from O(nI²) to O(nI·m). The
+reference's counterpart is the per-subdomain CHOLMOD factorization
+(EllipticPdeDomainDecomposition.jl:1518-1537).
+
+MEASURED on chip (bench_banded.py DD section, 32k Delaunay / ndom=16,
+nI=1898, m=106): factor+condense 66.1 ms dense vs 1171.2 ms banded —
+the flop savings do NOT materialize at protocol sizes because the banded
+factorization is nb sequential lax.scan steps of SMALL (m, m)
+Cholesky/triangular solves, which are latency-bound on TPU, while XLA's
+single batched dense Cholesky keeps the MXU busy. The dense path stays
+the default everywhere; this module is the MEMORY-envelope tool (factor
+storage O(nI·m)) and the parity-tested general-mesh analogue of
+SchurOperatorBT. Known limitation: the input A_II batch is still the
+dense (ndom, nI, nI) from assemble_dd_values, so the envelope extension
+is bounded by assembly, not factorization (a banded-assembly refill is
+the missing piece). Documented-negative for speed, kept for capability —
+same policy as ops/vmem_eigdef.py.
 
 The operator (SchurOperatorBandedInt) exposes the same protocol as
 SchurOperator/SchurOperatorBT, so fem/schur.py's matvec, RHS condensation,
