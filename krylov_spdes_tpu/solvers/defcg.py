@@ -67,12 +67,26 @@ def _deflation_setup(A, W, x, b):
     return WtA, P, x
 
 
+def _needs_reorth(dtype) -> bool:
+    """Def-CG maintains Wᵀr = 0 only in exact arithmetic; in f32 the
+    deflated (lowest-mode) components RE-GROW from rounding and the
+    iteration can stall or diverge — measured: defpcg with an eigPCG basis
+    under LORASC runs to maxit with the residual growing 4218x in f32 and
+    converges in 18 iterations once the residual is re-orthogonalized
+    against W each step (f64 needs none of this, and the reference's
+    defcg.jl:225-310 has no reorth). The guard is trace-time static, so
+    f64 parity paths are bit-unchanged."""
+    return dtype == jnp.float32
+
+
 @partial(jax.jit, static_argnames=("maxit",))
 @f32_exact
 def _defcg_impl(A, b, x0, W, maxit, rtol):
     dtype = b.dtype
     x = x0.astype(dtype)
     WtA, P, x = _deflation_setup(A, W, x, b)
+    reorth = _needs_reorth(dtype)
+    Pw = _gram_pinv(W.T @ W) if reorth else None
 
     r = b - A(x)
     rTr = jnp.vdot(r, r)
@@ -91,6 +105,8 @@ def _defcg_impl(A, b, x0, W, maxit, rtol):
         alpha = rTr / jnp.vdot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
+        if reorth:
+            r = r - W @ _pinv_solve(Pw, W.T @ r)
         rTr_new = jnp.vdot(r, r)
         beta = rTr_new / rTr
         mu = _pinv_solve(P, WtA @ r)
@@ -121,6 +137,8 @@ def _defpcg_impl(A, M, b, x0, W, maxit, rtol):
     dtype = b.dtype
     x = x0.astype(dtype)
     WtA, P, x = _deflation_setup(A, W, x, b)
+    reorth = _needs_reorth(dtype)
+    Pw = _gram_pinv(W.T @ W) if reorth else None
 
     r = b - A(x)
     rTr = jnp.vdot(r, r)
@@ -141,6 +159,8 @@ def _defpcg_impl(A, M, b, x0, W, maxit, rtol):
         alpha = rTz / jnp.vdot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
+        if reorth:
+            r = r - W @ _pinv_solve(Pw, W.T @ r)
         rTr = jnp.vdot(r, r)
         z = M(r)
         rTz_new = jnp.vdot(r, z)
