@@ -91,6 +91,44 @@ def ex17_curves(npz, out, title):
     print(f"wrote {out}")
 
 
+def ex17_tolerance_overlay(root):
+    """Recycling-cut robustness across tolerance regimes (VERDICT r3 item
+    3): overlay the per-sample rr/pcg means of every archived ex17 arm —
+    chip f32-floor, chip CERTIFIED 1e-7, and the f64/1e-7 anchor when
+    present. The parity claim: the recycling cut is tolerance-robust."""
+    arms = [("", "chip f32 floor"), (".chipcert", "chip certified 1e-7"),
+            (".f64anchor", "f64 1e-7 anchor")]
+    fig, ax = plt.subplots(figsize=(7.5, 4.5))
+    txt = []
+    for sfx, label in arms:
+        f = os.path.join(DATA, f"{root}.ex17.iters{sfx}.npz")
+        if not os.path.exists(f):
+            continue
+        d = np.load(f)
+        if "pcg" not in d.files or "rr" not in d.files:
+            continue
+        for name, ls in (("pcg", "--"), ("rr", "-")):
+            arr = np.ma.masked_equal(d[name], 0)
+            if arr.count() == 0:
+                continue
+            mean = arr.mean(axis=0)
+            ax.plot(np.arange(1, mean.shape[0] + 1), mean, ls,
+                    label=f"{name} [{label}]", lw=1.0)
+        mp = np.ma.masked_equal(d["pcg"], 0).mean()
+        mr = np.ma.masked_equal(d["rr"], 0).mean()
+        txt.append(f"{label}: cut {100 * (1 - mr / mp):.0f}%")
+    ax.set_xlabel("sample s along chain")
+    ax.set_ylabel("iterations (certified arms: total inner its)")
+    ax.set_title("ex17 recycling cut across tolerance regimes — "
+                 + "; ".join(txt), fontsize=9)
+    ax.legend(fontsize=7, ncol=2)
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    out = os.path.join(PLOTS, "ex17_tolerance_overlay.png")
+    fig.savefig(out, dpi=130)
+    print(f"wrote {out}")
+
+
 def _mean(d, k):
     a = d[k]
     a = a[a > 0] if a.ndim == 1 else np.ma.masked_equal(a, 0).compressed()
@@ -205,7 +243,8 @@ def parity_report():
         d = np.load(f)
         if "eigdefpcg" not in d.files:
             continue
-        tag = os.path.basename(f).split("ex09.iters")[-1].strip(".") or "amg"
+        tag = (os.path.basename(f).split("ex09.iters")[-1]
+               .replace(".npz", "").strip(".") or "amg")
         arr = np.ma.masked_equal(d["eigdefpcg"], 0)
         if arr.count() == 0:
             continue
@@ -250,4 +289,5 @@ if __name__ == "__main__":
     ex17_curves(os.path.join(DATA, f"{root}.ex17.iters.r2archive.npz"),
                 os.path.join(PLOTS, "ex17_iters_r2archive.png"),
                 "ex17 round-2 archive (lotrhr column pre-fix, corrupt)")
+    ex17_tolerance_overlay(root)
     parity_report()
