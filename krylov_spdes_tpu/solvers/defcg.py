@@ -28,43 +28,46 @@ from .base import SolveResult, as_linear_op, as_precond_op, f32_exact
 from .eig_common import thick_restart_basis
 
 
-def _gram_pinv(WtAW):
-    """Rank-revealing inverse of the deflation Gram WᵀAW (PSD).
+def _gram_pinv(G):
+    """Rank-revealing inverse of a normalized Gram (WᵀW-class, PSD with
+    eigenvalues in [0, ~1]): eigh-based pseudo-inverse with the framework's
+    √eps·λmax cutoff (the NN-pinv convention, fem/schur.py::_masked_pinv).
 
-    The reference Cholesky-factors the Gram (defcg.jl:40) and THROWS when a
-    recycled basis goes rank-deficient (Example09..._Functions.jl:358-360
-    discards the chain). Measured on chip: an f32 eigPCG-harvested W under
-    a strong (LORASC) preconditioner can be numerically rank-deficient, the
-    Cholesky breaks down, and Def-PCG stalls at maxit (f64 converges in
-    ~100 its on the same configuration). Deflating through an eigh-based
-    pseudo-inverse with the framework's √eps·λmax cutoff (same convention
-    as the NN pinv, fem/schur.py::_masked_pinv) projects onto the EFFECTIVE
-    range of W instead — dependent directions are dropped, the solver
-    degrades gracefully, and full-rank behavior is identical to the
-    Cholesky path up to rounding (parity tests unchanged)."""
-    lam, Q = jnp.linalg.eigh(WtAW)
-    eps = jnp.finfo(WtAW.dtype).eps
-    tol = jnp.sqrt(eps) * jnp.max(jnp.abs(lam))
+    Used for the f32 residual re-orthogonalization projector (see
+    _needs_reorth): if the recycled basis W is numerically dependent,
+    cho_factor(WᵀW) breaks down where the pinv degrades gracefully.
+    Deliberately NOT used for the deflation Gram WᵀAW — ITS small
+    eigenvalues are the low Ritz modes (the most valuable deflation
+    directions, spread ~ cond(A)), not noise; a spectral cutoff there
+    discards them and flips near-threshold keep decisions between
+    otherwise-identical paths (measured: broke sharded-vs-single DD chain
+    iteration parity). WᵀAW stays Cholesky-factored as in the reference
+    (defcg.jl:40)."""
+    lam, Q = jnp.linalg.eigh(G)
+    eps = jnp.finfo(G.dtype).eps
+    tol = jnp.sqrt(eps) * jnp.max(jnp.abs(lam), axis=-1, keepdims=True)
     keep = lam > tol
     inv = jnp.where(keep, 1.0 / jnp.where(keep, lam, 1.0), 0.0)
-    return Q * inv[None, :], Q
+    return Q * inv[..., None, :], Q
 
 
 def _pinv_solve(P, v):
-    """(Qdiag(inv), Q) pair from _gram_pinv applied to v."""
+    """(Qdiag(inv), Q) pair from _gram_pinv applied to v; batch-safe
+    ((..., k, k) pinv against (..., k) right-hand sides)."""
     Qi, Q = P
-    return Qi @ (Q.T @ v)
+    return jnp.einsum("...ik,...k->...i", Qi,
+                      jnp.einsum("...ik,...i->...k", Q, v))
 
 
 def _deflation_setup(A, W, x, b):
-    """WtA (nvec, n), rank-revealing Gram inverse, deflated initial guess."""
+    """WtA (nvec, n), chol(WtAW), deflated initial guess."""
     WtA = jax.vmap(A, in_axes=1, out_axes=0)(W)   # rows = A w_i (A SPD)
     WtAW = WtA @ W
-    P = _gram_pinv(WtAW)
+    cho = cho_factor(WtAW)
     r = b - A(x)
-    mu = _pinv_solve(P, W.T @ r)
+    mu = cho_solve(cho, W.T @ r)
     x = x + W @ mu
-    return WtA, P, x
+    return WtA, cho, x
 
 
 def _needs_reorth(dtype) -> bool:
@@ -84,13 +87,13 @@ def _needs_reorth(dtype) -> bool:
 def _defcg_impl(A, b, x0, W, maxit, rtol):
     dtype = b.dtype
     x = x0.astype(dtype)
-    WtA, P, x = _deflation_setup(A, W, x, b)
+    WtA, cho, x = _deflation_setup(A, W, x, b)
     reorth = _needs_reorth(dtype)
     Pw = _gram_pinv(W.T @ W) if reorth else None
 
     r = b - A(x)
     rTr = jnp.vdot(r, r)
-    mu = _pinv_solve(P, WtA @ r)
+    mu = cho_solve(cho, WtA @ r)
     p = r - W @ mu
     res_norm = jnp.zeros((maxit,), dtype).at[0].set(jnp.sqrt(rTr))
     tol = rtol * jnp.linalg.norm(b)
@@ -109,7 +112,7 @@ def _defcg_impl(A, b, x0, W, maxit, rtol):
             r = r - W @ _pinv_solve(Pw, W.T @ r)
         rTr_new = jnp.vdot(r, r)
         beta = rTr_new / rTr
-        mu = _pinv_solve(P, WtA @ r)
+        mu = cho_solve(cho, WtA @ r)
         p = beta * p + r - W @ mu
         res = res.at[it].set(jnp.sqrt(rTr_new))
         return (x, r, p, rTr_new, it + 1, res)
@@ -136,7 +139,7 @@ def defcg(A, b, x=None, W=None, maxit: int = 0,
 def _defpcg_impl(A, M, b, x0, W, maxit, rtol):
     dtype = b.dtype
     x = x0.astype(dtype)
-    WtA, P, x = _deflation_setup(A, W, x, b)
+    WtA, cho, x = _deflation_setup(A, W, x, b)
     reorth = _needs_reorth(dtype)
     Pw = _gram_pinv(W.T @ W) if reorth else None
 
@@ -144,7 +147,7 @@ def _defpcg_impl(A, M, b, x0, W, maxit, rtol):
     rTr = jnp.vdot(r, r)
     z = M(r)
     rTz = jnp.vdot(r, z)
-    mu = _pinv_solve(P, WtA @ z)
+    mu = cho_solve(cho, WtA @ z)
     p = z - W @ mu
     res_norm = jnp.zeros((maxit,), dtype).at[0].set(jnp.sqrt(rTr))
     tol = rtol * jnp.linalg.norm(b)
@@ -165,7 +168,7 @@ def _defpcg_impl(A, M, b, x0, W, maxit, rtol):
         z = M(r)
         rTz_new = jnp.vdot(r, z)
         beta = rTz_new / rTz
-        mu = _pinv_solve(P, WtA @ z)
+        mu = cho_solve(cho, WtA @ z)
         p = beta * p + z - W @ mu
         res = res.at[it].set(jnp.sqrt(rTr))
         return (x, r, p, rTz_new, it + 1, res)
@@ -215,7 +218,7 @@ def _eigdef_impl(A, M, b, x0, W, nvec, spdim, maxit, rtol, precond, reorth,
     dtype = b.dtype
     n = b.shape[0]
     x = x0.astype(dtype)
-    WtA, P, x = _deflation_setup(A, W, x, b)
+    WtA, cho, x = _deflation_setup(A, W, x, b)
     WtAW = WtA @ W
     WtW = W.T @ W
     cho_w = cho_factor(WtW)
@@ -233,7 +236,7 @@ def _eigdef_impl(A, M, b, x0, W, nvec, spdim, maxit, rtol, precond, reorth,
     rTr = jnp.vdot(r, r)
     z = mdiag * r if fused else (M(r) if precond else r)
     rTz = jnp.vdot(r, z)
-    mu = _pinv_solve(P, WtA @ z)
+    mu = cho_solve(cho, WtA @ z)
     p = z - W @ mu
     res0 = jnp.sqrt(rTr)
     res_norm = jnp.zeros((maxit,), dtype).at[0].set(res0)
@@ -264,7 +267,7 @@ def _eigdef_impl(A, M, b, x0, W, nvec, spdim, maxit, rtol, precond, reorth,
                            r if basis_dtype is None else r.astype(basis_dtype),
                            preferred_element_type=dtype)
             cw = cho_solve(cho_w, U[:nvec])          # (defcg.jl:407)
-            mu = _pinv_solve(P, U[nvec:] - K @ cw)   # = (WᵀAW)⁺ WᵀA z
+            mu = cho_solve(cho, U[nvec:] - K @ cw)   # = (WᵀAW)⁻¹ WᵀA z
             cm = jnp.stack([cw, mu], axis=1)
             T = jnp.einsum("nk,kj->nj", Wq,
                            cm if basis_dtype is None else cm.astype(basis_dtype),
@@ -283,7 +286,7 @@ def _eigdef_impl(A, M, b, x0, W, nvec, spdim, maxit, rtol, precond, reorth,
             z = M(r) if precond else r
             rTz_new = jnp.vdot(r, z)
             beta = rTz_new / rTz
-            mu = _pinv_solve(P, WtA @ z)
+            mu = cho_solve(cho, WtA @ z)
             p = beta * p + z - W @ mu
         res_new = jnp.sqrt(rTr)
         res = c["res"].at[it].set(res_new)
