@@ -22,6 +22,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.df32 import (build_gamma_pullback, dd_residual_df32, df_add,
                         ell_residual_df32, stencil_residual_df32)
@@ -183,6 +184,7 @@ def refined_dd_pcg(plan, S, op, b_I, b_G, A_II, A_IG, A_GGd, M=None,
     uGl = jnp.zeros_like(b_G)
     its = 0
     res = bnorm
+    prev = float("inf")
     k = 0
     from .cg import pcg
     for k in range(max_refine + 1):
@@ -192,6 +194,9 @@ def refined_dd_pcg(plan, S, op, b_I, b_G, A_II, A_IG, A_GGd, M=None,
         res = float(resv)
         if res <= rtol * bnorm or k == max_refine:
             break
+        if res > 0.5 * prev or not np.isfinite(res):
+            break        # inner breakdown: stop, report the floor honestly
+        prev = res
         r_s = get_schur_rhs(S, rIh, rGh)
         d = pcg(op, r_s, M=M, rtol=inner_rtol, maxit=inner_maxit)
         d_I = get_subdomain_solutions(S, d.x, rIh)
@@ -234,12 +239,24 @@ def refined_recycled_solve(A, b, first_solve, correct_W=None, M=None,
     its = int(r0.it)
     zero = jnp.zeros_like(b)
     res = bnorm
+    best = None
+    prev = float("inf")
     k = 0
     for k in range(max_refine + 1):
         rh, rl = ell_residual_df32(A, b, zero, xh, xl)
         res = float(jnp.linalg.norm(rh))
+        if best is None or res < best[0]:
+            best = (res, xh, xl)
         if res <= rtol * bnorm or k == max_refine:
             break
+        if res > 0.5 * prev or not np.isfinite(res):
+            # refinement must contract by ~inner_rtol per sweep; no
+            # contraction means the inner solver broke down (f32
+            # instability) — keep the best iterate, report the floor
+            # honestly instead of burning max_refine * maxit iterations
+            res, xh, xl = best
+            break
+        prev = res
         if W is not None:
             d = defpcg(A, rh, W=W, M=M, rtol=inner_rtol, maxit=inner_maxit)
         else:
