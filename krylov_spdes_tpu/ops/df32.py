@@ -31,14 +31,51 @@ import jax.numpy as jnp
 _SPLIT = 4097.0        # 2**12 + 1, Veltkamp constant for f32 (24-bit mantissa)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _probe_strict(backend: str) -> bool:
+    """Measure whether `backend` FMA-contracts f32 mul+add under jit (the
+    rounding check from tools/chip_validate_df32.py): pick (a, b, h) where
+    fma(a, b, h) and round(round(a*b) + h) differ; if the jitted result
+    matches the strictly-rounded value, EFTs are safe."""
+    import numpy as np
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=512).astype(np.float32)
+    b = rng.normal(size=512).astype(np.float32)
+    p = (a * b).astype(np.float32)
+    h = (-p + (rng.normal(size=512) * 1e-9).astype(np.float32)).astype(
+        np.float32)
+    got = np.asarray(jax.jit(lambda x, y, z: x * y + z)(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(h)))
+    return bool(np.array_equal(got, (p + h).astype(np.float32)))
+
+
 def strict_f32_rounding() -> bool:
-    """True when the active backend rounds every HLO f32 op (TPU; verified
-    on chip). False on CPU, whose LLVM codegen FMA-contracts inside fusions
-    (see module docstring) — residual evaluators then use the f64 path."""
-    return jax.default_backend() != "cpu"
+    """True when the active backend rounds every HLO f32 op. TPU was
+    verified on chip (tools/chip_validate_df32.py) and is trusted outright;
+    CPU is known-contracting (see module docstring); any OTHER backend
+    (e.g. GPU, which also FMA-contracts) is probed once with the jitted
+    mul+add rounding check rather than assumed strict (ADVICE r4)."""
+    backend = jax.default_backend()
+    if backend == "cpu":
+        return False
+    if backend == "tpu":
+        return True
+    return _probe_strict(backend)
 
 
 def _f64(x):
+    if not jax.config.jax_enable_x64:
+        # Without x64, astype(float64) silently canonicalizes to f32 and the
+        # "certified" residual would be f32-grade with no warning (ADVICE
+        # r4, medium). The f64 fallback path is only meaningful with x64 on
+        # (examples' --cpu flag / tests/conftest.py both enable it).
+        raise RuntimeError(
+            "df32 f64-fallback residual requires jax_enable_x64=True on "
+            "this backend (it does not round f32 strictly); enable x64 or "
+            "run on TPU")
     return jnp.asarray(x).astype(jnp.float64)
 
 

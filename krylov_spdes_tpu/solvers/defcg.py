@@ -28,39 +28,16 @@ from .base import SolveResult, as_linear_op, as_precond_op, f32_exact
 from .eig_common import thick_restart_basis
 
 
-def _gram_pinv(G):
-    """Rank-revealing inverse of a normalized Gram (WᵀW-class, PSD with
-    eigenvalues in [0, ~1]): eigh-based pseudo-inverse with the framework's
-    √eps·λmax cutoff (the NN-pinv convention, fem/schur.py::_masked_pinv).
+def _deflation_setup(A, W, x, b):
+    """WtA (nvec, n), chol(WtAW), deflated initial guess.
 
-    Used for the f32 residual re-orthogonalization projector (see
-    _needs_reorth): if the recycled basis W is numerically dependent,
-    cho_factor(WᵀW) breaks down where the pinv degrades gracefully.
-    Deliberately NOT used for the deflation Gram WᵀAW — ITS small
-    eigenvalues are the low Ritz modes (the most valuable deflation
+    The deflation Gram WᵀAW is deliberately kept Cholesky-factored as in
+    the reference (defcg.jl:40), NOT rank-revealing-pseudo-inverted: its
+    small eigenvalues are the low Ritz modes (the most valuable deflation
     directions, spread ~ cond(A)), not noise; a spectral cutoff there
     discards them and flips near-threshold keep decisions between
     otherwise-identical paths (measured: broke sharded-vs-single DD chain
-    iteration parity). WᵀAW stays Cholesky-factored as in the reference
-    (defcg.jl:40)."""
-    lam, Q = jnp.linalg.eigh(G)
-    eps = jnp.finfo(G.dtype).eps
-    tol = jnp.sqrt(eps) * jnp.max(jnp.abs(lam), axis=-1, keepdims=True)
-    keep = lam > tol
-    inv = jnp.where(keep, 1.0 / jnp.where(keep, lam, 1.0), 0.0)
-    return Q * inv[..., None, :], Q
-
-
-def _pinv_solve(P, v):
-    """(Qdiag(inv), Q) pair from _gram_pinv applied to v; batch-safe
-    ((..., k, k) pinv against (..., k) right-hand sides)."""
-    Qi, Q = P
-    return jnp.einsum("...ik,...k->...i", Qi,
-                      jnp.einsum("...ik,...i->...k", Q, v))
-
-
-def _deflation_setup(A, W, x, b):
-    """WtA (nvec, n), chol(WtAW), deflated initial guess."""
+    iteration parity)."""
     WtA = jax.vmap(A, in_axes=1, out_axes=0)(W)   # rows = A w_i (A SPD)
     WtAW = WtA @ W
     cho = cho_factor(WtAW)
@@ -89,7 +66,6 @@ def _defcg_impl(A, b, x0, W, maxit, rtol):
     x = x0.astype(dtype)
     WtA, cho, x = _deflation_setup(A, W, x, b)
     reorth = _needs_reorth(dtype)
-    Pw = _gram_pinv(W.T @ W) if reorth else None
 
     r = b - A(x)
     rTr = jnp.vdot(r, r)
@@ -109,7 +85,13 @@ def _defcg_impl(A, b, x0, W, maxit, rtol):
         x = x + alpha * p
         r = r - alpha * Ap
         if reorth:
-            r = r - W @ _pinv_solve(Pw, W.T @ r)
+            # remove the re-grown span(W) component via the DEFLATION
+            # correction x += W (WᵀAW)⁻¹Wᵀr, r -= A W c — keeps b − A x
+            # consistent with r (a bare projection of r lets x and r drift,
+            # so res_norm would understate the true residual; ADVICE r4)
+            cw = cho_solve(cho, W.T @ r)
+            x = x + W @ cw
+            r = r - WtA.T @ cw
         rTr_new = jnp.vdot(r, r)
         beta = rTr_new / rTr
         mu = cho_solve(cho, WtA @ r)
@@ -141,7 +123,6 @@ def _defpcg_impl(A, M, b, x0, W, maxit, rtol):
     x = x0.astype(dtype)
     WtA, cho, x = _deflation_setup(A, W, x, b)
     reorth = _needs_reorth(dtype)
-    Pw = _gram_pinv(W.T @ W) if reorth else None
 
     r = b - A(x)
     rTr = jnp.vdot(r, r)
@@ -163,7 +144,10 @@ def _defpcg_impl(A, M, b, x0, W, maxit, rtol):
         x = x + alpha * p
         r = r - alpha * Ap
         if reorth:
-            r = r - W @ _pinv_solve(Pw, W.T @ r)
+            # x-consistent deflation correction (see _defcg_impl)
+            cw = cho_solve(cho, W.T @ r)
+            x = x + W @ cw
+            r = r - WtA.T @ cw
         rTr = jnp.vdot(r, r)
         z = M(r)
         rTz_new = jnp.vdot(r, z)

