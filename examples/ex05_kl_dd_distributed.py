@@ -35,6 +35,15 @@ def main():
     p.add_argument("--host-pipeline", action="store_true",
                    help="legacy host two-level pipeline (kl/dd.py) instead "
                         "of the device-resident one")
+    p.add_argument("--local-eig", default="auto",
+                   choices=["auto", "eigh", "randomized"],
+                   help="stage-A local eigensolver: dense batched eigh, or "
+                        "the subspace-iteration fallback that avoids the "
+                        "XLA:TPU dense-eigh worker fault at n_max >= ~2.5k "
+                        "(auto picks per backend/size)")
+    p.add_argument("--summary-only", action="store_true",
+                   help="archive lam/captured only (skip the (nnode, nmode) "
+                        "psi payload — at 1M DoF psi alone is ~1 GB)")
     args = p.parse_args()
     jax = init_backend(args)
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -73,14 +82,21 @@ def main():
             relative_local=args.relative_local,
             relative_global=args.relative_global, forget=args.forget,
             dom_chunk=args.dom_chunk, pair_chunk=args.pair_chunk,
-            mesh=dev_mesh, verbose=True)
+            mesh=dev_mesh, verbose=True, local_eig=args.local_eig)
     wall = time.time() - t0
     captured = float(np.sum(lam)) / (args.sig2 * 1.0)  # unit-square area
     print(f"distributed two-level KL: {len(lam)} global modes, "
           f"captured variance {captured:.4f}, wall {wall:.1f}s "
           f"({'host' if args.host_pipeline else 'device'} pipeline)")
-    save_npz(args, f"ndom{ndom}.ex05.kl-dd-pll", lam=lam, psi=psi,
-             wall=np.float64(wall), captured=np.float64(captured))
+    if args.summary_only:
+        save_npz(args, f"ndom{ndom}.ex05.kl-dd-pll.summary",
+                 lam=np.asarray(lam), wall=np.float64(wall),
+                 captured=np.float64(captured),
+                 relative_global=np.float64(args.relative_global),
+                 local_eig=np.bytes_(args.local_eig))
+    else:
+        save_npz(args, f"ndom{ndom}.ex05.kl-dd-pll", lam=lam, psi=psi,
+                 wall=np.float64(wall), captured=np.float64(captured))
 
 
 if __name__ == "__main__":

@@ -131,12 +131,92 @@ def _truncate_renorm(w, phi, M, energy_target, nev: int):
     return lam, phi, jnp.sum(keep, axis=1)
 
 
+def _chol_qr2(Y):
+    """Batched CholeskyQR2 orthonormalization of (B, n, q) tall-skinny Y:
+    two rounds of G = YᵀY, Y ← Y chol(G)⁻ᵀ. Uses only matmuls + a q×q
+    Cholesky + triangular solve — deliberately NOT Householder QR, whose
+    LAPACK-style custom call sits in the same kernel family as the dense
+    eigh that faults the tunneled TPU worker at n ≳ 2.5k. One repeat fixes
+    single-pass CholQR's κ² instability to working precision."""
+    for _ in range(2):
+        G = jnp.einsum("bnq,bnp->bqp", Y, Y)
+        eps = jnp.finfo(Y.dtype).eps
+        G = G + jnp.eye(G.shape[-1], dtype=Y.dtype) * (
+            eps * jnp.trace(G, axis1=-2, axis2=-1)[..., None, None])
+        R = jnp.linalg.cholesky(G)
+        Y = jax.vmap(lambda y, r: jax.scipy.linalg.solve_triangular(
+            r, y.T, lower=True).T)(Y, R)
+    return Y
+
+
+def _local_generalized_eig_randomized(C, M, maskf, nev: int,
+                                      oversample: int = 16, iters: int = 4,
+                                      seed: int = 0):
+    """Top-q generalized eigenpairs of C φ = λ M φ (q = nev + oversample),
+    batched — the stage-A fallback for scale points where XLA:TPU's dense
+    eigh kills the worker (measured: batched eigh at (8, ~4600, 4600) and
+    (4, ~2600, 2600) both crash the tunneled chip; Cholesky, triangular
+    solves and matmuls at the same sizes run fine — the 128k Schur interiors
+    use them every realization).
+
+    Subspace iteration on M⁻¹C: the KL covariance spectrum decays fast
+    (SExp: super-exponentially), so a few power iterations with modest
+    oversampling resolve the kept modes to working precision. Per iteration:
+    Z = C Y (MXU), Y = M⁻¹ Z (two triangular solves off one Cholesky),
+    CholeskyQR2. Rayleigh–Ritz on the final basis solves only a q×q
+    generalized problem (tiny eigh — safe at any scale). Same call surface /
+    return convention as _local_generalized_eigh with q instead of n modes:
+    w descending (B, q), phi (B, n, q).
+
+    Covers the reference's large-DoF validation points
+    (KarhunenLoeveDomainDecompositionHelper.jl:12-33: 1M DoF/ndom500/nev35,
+    2M/500/25) that the dense path cannot reach on this chip."""
+    Bb, n, _ = C.shape
+    q = min(n, nev + oversample)
+    pad = jnp.eye(n, dtype=C.dtype)[None] * (1.0 - maskf)[:, :, None]
+    m2 = maskf[:, :, None] * maskf[:, None, :]
+    Mm = M * m2 + pad
+    Cm = C * m2
+    L = jnp.linalg.cholesky(Mm)
+
+    def minv(Z):
+        Y = jax.vmap(lambda l, z: jax.scipy.linalg.solve_triangular(
+            l, z, lower=True))(L, Z)
+        return jax.vmap(lambda l, y: jax.scipy.linalg.solve_triangular(
+            l.T, y, lower=False))(L, Y)
+
+    key = jax.random.PRNGKey(seed)
+    Y = jax.random.normal(key, (Bb, n, q), C.dtype) * maskf[:, :, None]
+    for _ in range(iters):
+        Y = _chol_qr2(minv(jnp.einsum("bnm,bmq->bnq", Cm, Y)))
+    # Rayleigh–Ritz in span(Y): (YᵀCY) v = w (YᵀMY) v, q×q
+    Ar = jnp.einsum("bnq,bnm,bmp->bqp", Y, Cm, Y)
+    Mr = jnp.einsum("bnq,bnm,bmp->bqp", Y, Mm, Y)
+    Lr = jnp.linalg.cholesky(Mr)
+    Br = jax.vmap(lambda l, a: jax.scipy.linalg.solve_triangular(
+        l, a, lower=True))(Lr, Ar)
+    Br = jax.vmap(lambda l, b: jax.scipy.linalg.solve_triangular(
+        l, b.T, lower=True))(Lr, Br)
+    w, U = jnp.linalg.eigh((Br + jnp.swapaxes(Br, 1, 2)) / 2)
+    w = w[:, ::-1]
+    U = U[:, :, ::-1]
+    V = jax.vmap(lambda l, u: jax.scipy.linalg.solve_triangular(
+        l.T, u, lower=False))(Lr, U)
+    phi = jnp.einsum("bnq,bqp->bnp", Y, V)
+    return w, phi
+
+
 def local_kls_device(tables: KLDomTables, points, cov, nev: int,
                      relative: float = 0.99, dom_chunk: int | None = None,
-                     dtype=None):
+                     dtype=None, local_eig: str = "auto"):
     """Stage A as ONE jitted scan over dom chunks. Returns device arrays
     (lam_d (ndom, nev), phi_d (ndom, n_max, nev), rho_d (ndom, n_max, nev),
-    m_d (ndom,), total_energy (scalar)). No host syncs."""
+    m_d (ndom,), total_energy (scalar)). No host syncs.
+
+    local_eig: 'eigh' (dense batched generalized eigh), 'randomized'
+    (subspace-iteration fallback, see _local_generalized_eig_randomized), or
+    'auto' — randomized on TPU when n_max ≥ 2048 (where the dense eigh
+    kernel faults the worker), dense otherwise."""
     dtype = dtype or (jnp.float64 if jax.config.read("jax_enable_x64")
                       else jnp.float32)
     ndom, n_max = tables.ndom, tables.n_max
@@ -162,13 +242,20 @@ def local_kls_device(tables: KLDomTables, points, cov, nev: int,
     total_energy = jnp.sum(jnp.asarray(tables.areas, dtype) * var0)
 
     from .dd import _local_generalized_eigh
+    if local_eig == "auto":
+        local_eig = ("randomized"
+                     if n_max >= 2048 and jax.default_backend() != "cpu"
+                     else "eigh")
 
     def one_chunk(_, a):
         M = _build_mass_chunk(a["li"], a["el_area"], n_max)
         Chat = cov(a["coords"][:, :, None, :], a["coords"][:, None, :, :])
         Chat = Chat * a["maskf"][:, :, None] * a["maskf"][:, None, :]
         C = jnp.einsum("dij,djk,dlk->dil", M, Chat, M)
-        w, phi = _local_generalized_eigh(C, M, a["maskf"])
+        if local_eig == "randomized":
+            w, phi = _local_generalized_eig_randomized(C, M, a["maskf"], nev)
+        else:
+            w, phi = _local_generalized_eigh(C, M, a["maskf"])
         lam, phi, m_d = _truncate_renorm(w, phi, M, a["tgt"], nev)
         phi = phi * a["maskf"][:, :, None]
         rho = jnp.einsum("dij,djk->dik", M, phi)
@@ -271,7 +358,8 @@ def compute_dd_kl_device(cells, points, epart, ndom, cov, nev: int,
                          relative_global: float = 0.99,
                          forget: float = -1.0, dom_chunk: int | None = None,
                          pair_chunk: int = 64, mesh=None, verbose=False,
-                         max_modes: int | None = None):
+                         max_modes: int | None = None,
+                         local_eig: str = "auto"):
     """End-to-end device-resident two-level KL (pll_compute_kl analogue,
     reference :457-614). Heavy stages shard over `mesh`'s axes when given.
 
@@ -287,7 +375,7 @@ def compute_dd_kl_device(cells, points, epart, ndom, cov, nev: int,
     t0 = _time.time()
     lam_d, phi_d, rho, m_d, energy = local_kls_device(
         tables, points, cov, nev, relative=relative_local,
-        dom_chunk=dom_chunk)
+        dom_chunk=dom_chunk, local_eig=local_eig)
     jax.block_until_ready(rho)
     float(jnp.sum(lam_d))              # force readback (tunneled-chip timers)
     t_a = _time.time() - t0
