@@ -3,9 +3,18 @@
 Mirrors /root/reference/Example11_EigInitPcgEllipticPdeMultipleRhs.jl:140-148:
 constant A, MC-sampled RHS sequence; compare Init-PCG and eigPCG/eigDef-PCG
 (incremental eigenvector harvesting across solves).
+
+--schur runs the reference's Schur-system flavor
+(Example11_EigInitPcgEllipticPdeMultipleRhs_Functions.jl:53-166: condense the
+constant operator once, per sample condense the new RHS with get_schur_rhs
+and solve the interface system under the Neumann-Neumann preconditioner).
+--block-rhs k adds the TPU-native alternative the reference lacks: block-PCG
+over k stacked RHS (solvers/block_cg.py), where every SpMV is an (n, k) MXU
+product and the block shares spectral information.
 """
 
-from common import base_parser, init_backend, build_fem, build_kl, save_npz
+from common import (base_parser, init_backend, build_fem, build_kl, build_dd,
+                    save_npz)
 
 import numpy as np
 
@@ -14,6 +23,14 @@ def main():
     p = base_parser(__doc__)
     p.add_argument("--nvec", type=int, default=10)
     p.add_argument("--spdim", type=int, default=30)
+    p.add_argument("--schur", action="store_true",
+                   help="solve the interface (Schur) system per sample "
+                        "instead of the assembled A (reference's "
+                        "neumann-neumann precond arm)")
+    p.add_argument("--block-rhs", type=int, default=0,
+                   help="also solve the whole RHS sequence in blocks of "
+                        "this size with block-PCG and record its per-solve "
+                        "iteration count (column 'blockpcg')")
     args = p.parse_args()
     jax = init_backend(args)
     import jax.numpy as jnp
@@ -26,30 +43,73 @@ def main():
 
     mesh, maps, asm = build_fem(args)
     rng = np.random.default_rng(args.seed)
-    A, b0 = do_isotropic_elliptic_assembly(
-        asm, np.exp(rng.normal(size=mesh.nnode)))
-    M0 = amg_precond(A)
+    coeff = np.exp(rng.normal(size=mesh.nnode))
+    A, b0 = do_isotropic_elliptic_assembly(asm, coeff)
+
+    if args.schur:
+        from krylov_spdes_tpu.fem.dd import assemble_dd_values
+        from krylov_spdes_tpu.fem.schur import (
+            prepare_schur_operator, get_schur_rhs,
+            prepare_neumann_neumann_schur_precond)
+        epart, part, plan = build_dd(args, mesh, maps)
+        blocks = assemble_dd_values(plan, jnp.asarray(coeff,
+                                                      plan.kflat.dtype))
+        S = prepare_schur_operator(plan, part, *blocks[:3])
+        M0 = prepare_neumann_neumann_schur_precond(S)
+        # free-vector -> padded DD RHS split (the per-sample analogue of
+        # the reference's get_schur_rhs re-condensation, :147-154)
+        iidx = maps.free_g2l[np.maximum(part.interior_l2g, 0)]
+        gidx = maps.free_g2l[part.gamma_l2g]
+        imask = np.asarray(plan.imask)
+
+        def sample_rhs():
+            bf = rng.normal(size=maps.n_free)
+            b_I = jnp.asarray(bf[iidx] * imask, plan.kflat.dtype)
+            b_G = jnp.asarray(bf[gidx], plan.kflat.dtype)
+            return get_schur_rhs(S, b_I, b_G)
+        Aop = S
+    else:
+        M0 = amg_precond(A)
+
+        def sample_rhs():
+            return jnp.asarray(rng.normal(size=maps.n_free))
+        Aop = A
 
     iters = {m: np.zeros(args.nreals, dtype=np.int64)
              for m in ("pcg", "initpcg", "eigdefpcg")}
     W = None
+    rhs_hist = []
     for s in range(args.nreals):
-        b = jnp.asarray(rng.normal(size=maps.n_free))
-        iters["pcg"][s] = int(pcg(A, b, M=M0).it)
+        b = sample_rhs()
+        rhs_hist.append(np.asarray(b))
+        iters["pcg"][s] = int(pcg(Aop, b, M=M0).it)
         if W is None:
-            r = eigpcg(A, b, M=M0, nvec=args.nvec, spdim=args.spdim)
+            r = eigpcg(Aop, b, M=M0, nvec=args.nvec, spdim=args.spdim)
             iters["initpcg"][s] = iters["eigdefpcg"][s] = int(r.it)
             W = r.W
         else:
-            iters["initpcg"][s] = int(initpcg(A, b, W=W, M=M0).it)
-            r = eigdefpcg(A, b, M=M0, W=W, spdim=args.spdim)
+            iters["initpcg"][s] = int(initpcg(Aop, b, W=W, M=M0).it)
+            r = eigdefpcg(Aop, b, M=M0, W=W, spdim=args.spdim)
             iters["eigdefpcg"][s] = int(r.it)
             W = r.W
         print(f"s={s}: pcg={iters['pcg'][s]} initpcg={iters['initpcg'][s]} "
               f"eigdefpcg={iters['eigdefpcg'][s]}", flush=True)
-    for k, v in iters.items():
-        print(f"{k}: mean {v.mean():.1f}")
-    save_npz(args, "ex11.iters", **iters)
+    extra = {}
+    if args.block_rhs > 0:
+        from krylov_spdes_tpu.solvers.block_cg import block_pcg
+        k = args.block_rhs
+        bits = []
+        for s0 in range(0, args.nreals, k):
+            B = jnp.stack(rhs_hist[s0:s0 + k], axis=1)
+            r = block_pcg(Aop, B, M=M0)
+            bits.extend([int(r.it)] * B.shape[1])
+            print(f"blockpcg [{s0}:{s0 + B.shape[1]}]: {int(r.it)} its "
+                  "(all RHS converge together)", flush=True)
+        extra["blockpcg"] = np.asarray(bits, dtype=np.int64)
+    for k_, v in {**iters, **extra}.items():
+        print(f"{k_}: mean {v.mean():.1f}")
+    tag = ".schur" if args.schur else ""
+    save_npz(args, f"ex11.iters{tag}", **iters, **extra)
 
 
 if __name__ == "__main__":

@@ -28,6 +28,9 @@ CASES = [
                                 "--nchains", "1", "--nsmp", "2",
                                 "--L", "0.4", "--fast"]),
     ("ex10_large_deterministic.py", ["--nnode", "2500"]),
+    ("ex11_multiple_rhs.py", ["--nnode", "500", "--ndom", "4", "--nreals",
+                              "2", "--schur", "--block-rhs", "2",
+                              "--L", "0.4"]),
     ("ex13_clvq.py", ["--ns", "500", "--Ps", "4", "--nKLs", "4",
                       "--nnode", "300", "--L", "0.4"]),
     ("ex18_clustering2d.py", ["--ns", "300", "--P", "3", "--nnode", "300",
