@@ -151,6 +151,64 @@ def main():
         "parity_relerr": round(err, 10),
     }))
 
+    # --- memory-envelope datapoint: nI beyond the dense wall ----------------
+    # BENCH_ENVELOPE=1 runs the FULL no-dense-interior pipeline
+    # (prepare_banded_dd_refill -> assemble_dd_values_banded -> bt factor ->
+    # interface PCG) at BENCH_ENV_NNODE nodes, where the dense (ndom, nI, nI)
+    # batch alone would exceed HBM, and reports device peak memory.
+    if os.environ.get("BENCH_ENVELOPE"):
+        env_nnode = int(os.environ.get("BENCH_ENV_NNODE", "200000"))
+        env_ndom = int(os.environ.get("BENCH_ENV_NDOM", "16"))
+        with jax.default_device(cpu):
+            mesh3 = get_delaunay_mesh(env_nnode, seed=0)
+            maps3 = get_dirichlet_inds(mesh3.points, mesh3.point_markers)
+            epart3, _ = mesh_partition(mesh3.cells, mesh3.points, env_ndom,
+                                       mesh3.cell_neighbors)
+            part3 = set_subdomains(mesh3.cells, epart3, maps3, env_ndom)
+            plan3 = prepare_dd_assembly(
+                mesh3.cells, mesh3.points, epart3, part3, maps3,
+                lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+            from krylov_spdes_tpu.fem.dd_banded import (
+                prepare_banded_dd_refill, assemble_dd_values_banded,
+                prepare_schur_operator_banded_refill)
+            tab3 = prepare_banded_interiors(mesh3.cells, part3, plan3)
+            bplan3 = prepare_banded_dd_refill(plan3, part3, tab3)
+        nI3 = part3.interior_l2g.shape[1]
+        dense_gb = env_ndom * nI3 * nI3 * 4 / 2**30
+        band_gb = 2 * env_ndom * tab3.nb * tab3.m * tab3.m * 4 / 2**30
+        print(f"# envelope: nnode={mesh3.nnode} ndom={env_ndom} nI={nI3} "
+              f"m={tab3.m} nb={tab3.nb} — dense A_II batch would be "
+              f"{dense_gb:.1f} GB; banded (D,E) {band_gb:.2f} GB")
+        plan3 = jax.device_put(plan3, dev)
+        bplan3 = jax.device_put(bplan3, dev)
+        rngc = np.random.default_rng(1)
+        coeff3 = jax.device_put(
+            jnp.asarray(np.exp(0.3 * rngc.normal(size=mesh3.nnode)),
+                        b_d.dtype), dev)
+
+        from krylov_spdes_tpu.fem.schur import get_schur_rhs
+        t0 = time.time()
+        D3, E3, A_IG3, A_GG3, b_I3, b_G3 = assemble_dd_values_banded(
+            plan3, bplan3, coeff3)
+        Sb3 = prepare_schur_operator_banded_refill(plan3, part3, D3, E3,
+                                                   A_IG3, A_GG3, tab3)
+        b_s3 = get_schur_rhs(Sb3, b_I3, b_G3)
+        r3 = pcg(Sb3, b_s3, maxit=200, rtol=1e-5)
+        float(jnp.sum(r3.x))
+        wall = time.time() - t0
+        stats = dev.memory_stats() or {}
+        peak_gb = stats.get("peak_bytes_in_use", 0) / 2**30
+        print(json.dumps({
+            "metric": "dd_banded_envelope",
+            "value": int(nI3),
+            "unit": "nI",
+            "wall_s": round(wall, 1),
+            "interface_its": int(r3.it),
+            "peak_device_gb": round(peak_gb, 2),
+            "dense_would_need_gb": round(dense_gb, 1),
+            "banded_blocks_gb": round(band_gb, 2),
+        }))
+
 
 if __name__ == "__main__":
     main()

@@ -94,3 +94,47 @@ def test_banded_schur_solve_parity():
     im = np.asarray(plan.imask)
     np.testing.assert_allclose(np.asarray(u_b) * im, np.asarray(u_d) * im,
                                rtol=1e-6, atol=1e-8)
+
+
+def test_banded_refill_matches_dense_assembly():
+    """The direct banded refill (assemble_dd_values_banded — no dense A_II
+    anywhere) reproduces the dense assembly path exactly: same (D, E) bands,
+    same A_IG/A_GGd/b blocks, same Schur solve."""
+    from krylov_spdes_tpu.fem.dd_banded import (
+        prepare_banded_dd_refill, assemble_dd_values_banded,
+        prepare_schur_operator_banded_refill, _banded_blocks_from_dense)
+    mesh, part, plan, (A_II, A_IG, A_GGd, b_I, b_G) = _build()
+    tab = prepare_banded_interiors(mesh.cells, part, plan)
+    bplan = prepare_banded_dd_refill(plan, part, tab)
+
+    coeff = np.exp(np.random.default_rng(1).normal(size=mesh.nnode))
+    D, E, A_IGb, A_GGb, b_Ib, b_Gb = assemble_dd_values_banded(
+        plan, bplan, jnp.asarray(coeff))
+    Dd, Ed = _banded_blocks_from_dense(A_II, plan.imask,
+                                       jnp.asarray(tab.perm), tab.nb, tab.m)
+    np.testing.assert_allclose(np.asarray(D), np.asarray(Dd),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(E), np.asarray(Ed),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(A_IGb), np.asarray(A_IG),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(A_GGb), np.asarray(A_GGd),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(b_Ib), np.asarray(b_I),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(b_Gb), np.asarray(b_G),
+                               rtol=1e-12, atol=1e-13)
+
+    # operator-level parity: interface solve through the refill-built
+    # operator matches the dense-interior Schur path
+    Sb = prepare_schur_operator_banded_refill(plan, part, D, E, A_IGb,
+                                              A_GGb, tab)
+    S = prepare_schur_operator(plan, part, A_II, A_IG, A_GGd)
+    b_s = get_schur_rhs(S, b_I, b_G)
+    b_sb = get_schur_rhs(Sb, b_Ib, b_Gb)
+    np.testing.assert_allclose(np.asarray(b_sb), np.asarray(b_s),
+                               rtol=1e-10, atol=1e-12)
+    xd = pcg(S, b_s, rtol=1e-10)
+    xb = pcg(Sb, b_sb, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(xb.x), np.asarray(xd.x),
+                               rtol=1e-7, atol=1e-9)
