@@ -32,6 +32,11 @@ def main():
     p.add_argument("--relative-global", type=float, default=0.99)
     p.add_argument("--dom-chunk", type=int, default=None)
     p.add_argument("--pair-chunk", type=int, default=64)
+    p.add_argument("--max-modes", type=int, default=None,
+                   help="cap on kept global modes; when nred >> cap the "
+                        "reduced eigensolve runs Lanczos (scipy eigsh) "
+                        "instead of the full O(nred^3) eigh — required at "
+                        "the 1M/2M presets where nred = ndom*nev ~ 17k")
     p.add_argument("--host-pipeline", action="store_true",
                    help="legacy host two-level pipeline (kl/dd.py) instead "
                         "of the device-resident one")
@@ -82,7 +87,8 @@ def main():
             relative_local=args.relative_local,
             relative_global=args.relative_global, forget=args.forget,
             dom_chunk=args.dom_chunk, pair_chunk=args.pair_chunk,
-            mesh=dev_mesh, verbose=True, local_eig=args.local_eig)
+            mesh=dev_mesh, verbose=True, local_eig=args.local_eig,
+            max_modes=args.max_modes)
     wall = time.time() - t0
     captured = float(np.sum(lam)) / (args.sig2 * 1.0)  # unit-square area
     print(f"distributed two-level KL: {len(lam)} global modes, "

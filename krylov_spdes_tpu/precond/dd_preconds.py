@@ -103,26 +103,36 @@ def _gamma_correction_pairs_exact(S: SchurOperator, A_GG, nvec):
 
 
 def _gamma_correction_pairs_randomized(S: SchurOperator, A_GG, ell, q, key):
-    """Randomized range finder on B = L⁻¹(A_ΓΓ−S)L⁻ᵀ (reference :1553-1585).
-    Returns (sigma ascending, E, L)."""
+    """Randomized subspace iteration on B = L⁻¹(A_ΓΓ−S)L⁻ᵀ (reference
+    :1553-1585 randomized range finder). Returns (sigma ascending, E, L).
+
+    Chip-safe by construction: only matmuls, triangular solves, CholeskyQR2
+    orthonormalization and an ell×ell Rayleigh–Ritz eigh — no n_Γ-sized
+    dense eigh / Householder QR / SVD, the kernel family that faults the
+    tunneled TPU worker at n ≳ 2.5k (the same design as the KL stage-A
+    fallback, kl/dd_device.py::_local_generalized_eig_randomized). The top
+    modes of B are the SMALL σ of (S, A_ΓΓ) — exactly the correction pairs
+    LORASC keeps (σ < ε), and the ones power iteration converges to first."""
+    from ..kl.dd_device import _chol_qr2
     n = S.n_gamma
     L = jnp.linalg.cholesky(A_GG)
 
     def bmat(X):  # X: (n, k)
         Y = jax.scipy.linalg.solve_triangular(L.T, X, lower=False)
-        SY = jnp.stack([S(Y[:, i]) for i in range(X.shape[1])], axis=1)
+        SY = jax.vmap(S, in_axes=1, out_axes=1)(Y)
         Z = A_GG @ Y - SY
         return jax.scipy.linalg.solve_triangular(L, Z, lower=True)
 
     H = jax.random.normal(key, (n, ell), A_GG.dtype)
     for _ in range(2 * q + 1):
-        H = bmat(H)
-    Q, _ = jnp.linalg.qr(H)
-    C = bmat(Q)
-    _, sv, Vt = jnp.linalg.svd(C, full_matrices=False)
-    sig = 1.0 - sv                      # σ of (S, A_ΓΓ) = 1 − ζ of B
-    E = jax.scipy.linalg.solve_triangular(L.T, Q @ Vt.T, lower=False)
-    order = np.argsort(np.asarray(sig))
+        H = _chol_qr2(bmat(H)[None])[0]
+    # Rayleigh–Ritz on span(H): Br = HᵀBH is ell×ell (tiny eigh, safe)
+    BH = bmat(H)
+    Br = H.T @ BH
+    zeta, U = jnp.linalg.eigh((Br + Br.T) / 2)
+    sig = 1.0 - zeta[::-1]              # σ of (S, A_ΓΓ) = 1 − ζ of B
+    E = jax.scipy.linalg.solve_triangular(L.T, H @ U[:, ::-1], lower=False)
+    order = np.argsort(np.asarray(sig), kind="stable")
     return np.asarray(sig)[order], np.asarray(E)[:, order], L
 
 
@@ -165,7 +175,7 @@ def _lorasc_apply(n_free, A_II_L, A_IG, g2g, gmask, ifree, gfree,
 def prepare_lorasc_precond(S: SchurOperator, part: DDPartition,
                            maps: DirichletMaps, nvec: int = 25,
                            eps_threshold: float = 0.01,
-                           low_rank_correction: str = "exact",
+                           low_rank_correction: str = "auto",
                            ell: int | None = None, q: int = 2, key=None,
                            gamma_solver: str = "dense",
                            verbose: bool = False) -> Partial:
@@ -175,8 +185,25 @@ def prepare_lorasc_precond(S: SchurOperator, part: DDPartition,
     gamma_solver="banded": RCM + block-tridiagonal factorization
     (precond/block_tridiag_chol.py) — A_ΓΓ is assembled SPARSE and never
     densified, so wire-basket interfaces at n_Γ ≈ 1e5 work (the reference's
-    CHOLMOD slot, EllipticPdeDomainDecomposition.jl:1525)."""
+    CHOLMOD slot, EllipticPdeDomainDecomposition.jl:1525).
+
+    low_rank_correction="auto" keeps the dense Cholesky-reduced eigh at
+    small n_Γ but switches to the randomized subspace iteration on
+    accelerators once n_Γ ≥ 2048 — XLA:TPU's dense eigh faults the worker
+    there (measured: the ex06-128k LORASC build at n_Γ ≈ 3.5k crashed it;
+    same rule as the KL stage-A fallback)."""
     dt = S.A_IG.dtype
+    if low_rank_correction == "auto":
+        if jax.default_backend() != "cpu" and S.n_gamma >= 2048:
+            low_rank_correction = "randomized"
+            # fallback quality knobs (measured on the drive problem: ell is
+            # the dominant lever — it=66 at the reference default ell/q=2,
+            # it=32 == exact at ell~n_Γ/3; q=4 buys ~20% alone)
+            q = max(q, 4)
+            if ell is None:
+                ell = max(int(part.ndom + 0.1 * S.n_gamma), 6 * nvec)
+        else:
+            low_rank_correction = "exact"
     if gamma_solver == "banded":
         from .block_tridiag_chol import get_banded_cholesky
         A_GG_sp = assemble_gamma_sparse(S)
