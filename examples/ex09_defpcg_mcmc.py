@@ -199,7 +199,8 @@ def main():
                  ndone_chain=np.int64(ic + 1),
                  **{m: iters[m] for m in methods},
                  **({f"certres_{m}": v for m, v in certres.items()}
-                    if certres else {}))
+                    if certres else {}),
+                 **({"certified_rtol": np.float64(1e-7)} if certres else {}))
 
     for m in methods:
         print(f"{m}: mean per-sample iters "

@@ -171,21 +171,34 @@ def parity_report():
 
     # ex07: NN (no coarse space) degrades as ndom grows; the A_GammaGamma-
     # Cholesky arm stays comparatively flat (EllipticPdeDomainDecomposition
-    # .jl:1111-1403 NN has no coarse correction)
-    pts = {}
-    for f in sorted(glob.glob(os.path.join(DATA, "*.ex07.iters.npz"))):
-        m = re.search(r"DoF(\d+)\.ndom(\d+)", f)
-        if int(m.group(1)) != 32000:
+    # .jl:1111-1403 NN has no coarse correction). The fixed-nnode=32k trend
+    # mixes f64 and chip-certified arms (both solve to the same 1e-7
+    # criterion; the chip-vs-f64 ranking-parity claim below justifies the
+    # pooling) — f64 wins when both exist for an ndom.
+    pts, arm = {}, {}
+    for f in sorted(glob.glob(os.path.join(DATA, "*.ex07.iters*.npz"))):
+        m = re.search(r"DoF(\d+)\.ndom(\d+)\.ex07\.iters(\.\w+)?\.npz", f)
+        if m is None or int(m.group(1)) != 32000:
+            continue
+        tag = (m.group(3) or "").strip(".")
+        if tag not in ("", "chipcert"):
+            continue
+        nd = int(m.group(2))
+        if nd in pts and arm[nd] == "f64":
             continue
         d = np.load(f)
-        pts[int(m.group(2))] = (_mean(d, "nn_const"), _mean(d, "gamma_chol"))
+        if tag == "" or nd not in pts:
+            pts[nd] = (_mean(d, "nn_const"), _mean(d, "gamma_chol"))
+            arm[nd] = "f64" if tag == "" else "chipcert"
     if len(pts) >= 2:
         nds = sorted(pts)
         nn = [pts[n][0] for n in nds]
         gc = [pts[n][1] for n in nds]
-        claim("ex07 NN iterations grow with ndom",
+        srcs = {n: arm[n] for n in nds}
+        claim(f"ex07 NN iterations grow with ndom ({len(nds)}-point trend)",
               all(a < b for a, b in zip(nn, nn[1:])),
-              f"nn_const means {dict(zip(nds, np.round(nn, 1)))}")
+              f"nn_const means {dict(zip(nds, np.round(nn, 1)))} "
+              f"(arms {srcs})")
         claim("ex07 gamma-Chol stays comparatively flat",
               max(gc) / min(gc) < max(nn) / min(nn),
               f"gamma_chol means {dict(zip(nds, np.round(gc, 1)))} — spread "
@@ -265,10 +278,16 @@ def parity_report():
     # breakdown (VERDICT r4 weak #1 — the ex09-32k chain-16 lesson). The
     # invariant is checked uniformly here, not per-protocol.
     for f in sorted(glob.glob(os.path.join(DATA, "*.npz"))):
-        d = np.load(f)
-        if "certified_rtol" not in d.files:
+        if ".state" in f or ".ckpt" in f:
             continue
-        rtol = float(d["certified_rtol"])
+        d = np.load(f)
+        # mid-flight checkpoints may carry certres_* before the final save
+        # writes certified_rtol — they are certified archives all the same
+        if not ("certified_rtol" in d.files
+                or any(k.startswith("certres_") for k in d.files)):
+            continue
+        rtol = (float(d["certified_rtol"]) if "certified_rtol" in d.files
+                else 1e-7)
         status = d["status"] if "status" in d.files else None
         worst, nflag = 0.0, 0
         for k in d.files:
