@@ -252,3 +252,24 @@ def test_batched_step_stencil_plan():
     assert np.isfinite(np.asarray(W)).all()
     # recycling brings steady state below the unrecycled seed count
     assert its_hist[-2:].mean() < its_hist[0].mean()
+
+
+def test_multichip_protocol_arm_archive():
+    """The protocol-scale (32k/ndom32/nvec30/spdim90) sharded-vs-single
+    flagship arm (tools/multichip_protocol_arm.py) must hold per-sample
+    iteration parity and identical Metropolis proposal streams. Validates
+    the committed archive; run the tool to regenerate it."""
+    import os
+    import pytest
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "data_protocol",
+        "SExp_sig21.0_L0.1_DoF32000.ndom32.multichip_flagship.npz")
+    if not os.path.exists(path):
+        pytest.skip("protocol multichip archive not generated yet")
+    d = np.load(path)
+    assert int(d["max_delta"]) <= 2
+    np.testing.assert_array_equal(d["proposals_sharded"],
+                                  d["proposals_single"])
+    assert (d["its_sharded"] > 0).all() and (d["its_single"] > 0).all()
+    # recycling at protocol scale: recycled samples beat the eigPCG seed
+    assert d["its_sharded"][:, 1:].mean() < d["its_sharded"][:, 0].mean()
