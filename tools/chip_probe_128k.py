@@ -1,0 +1,121 @@
+"""Stage-isolated probe for the ex06-128k TPU-worker crash.
+
+The 128k lorasc+bj certified arm kills the tunneled TPU worker before its
+first readback (logs/ex06_128k*.log); because dispatch is async, the
+traceback only shows where the error SURFACED. This probe runs each
+suspect stage alone with a forced readback and a print between stages, so
+the log pinpoints the faulting kernel:
+
+  1. ELL assembly + certified refined Jacobi-PCG (no DD, no dense blocks)
+  2. block-Jacobi plan + precond: batched Cholesky at (30, ~4266, 4266)
+  3. DD block refill + prepare_schur_operator (masked products + chol)
+  4. randomized LORASC correction pairs at n_Gamma ~ 3.5k
+  5. one certified refined solve under each built preconditioner
+
+Run alone on the chip:  python tools/chip_probe_128k.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))), "examples"))
+
+import numpy as np
+
+
+def stamp(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    nnode = int(os.environ.get("PROBE_NNODE", "128000"))
+    ndom = int(os.environ.get("PROBE_NDOM", "30"))
+
+    cpu = jax.devices("cpu")[0]
+    dev = jax.devices()[0]
+    stamp(f"devices: {dev.platform}; building {nnode}-node problem on host")
+    with jax.default_device(cpu):
+        from krylov_spdes_tpu.fem.mesh import get_mesh
+        from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+        from krylov_spdes_tpu.fem.assembly import (
+            prepare_elliptic_assembly, do_isotropic_elliptic_assembly)
+        from krylov_spdes_tpu.fem.partition import mesh_partition
+        from krylov_spdes_tpu.fem.dd import (set_subdomains,
+                                             prepare_dd_assembly)
+        mesh = get_mesh(nnode, jitter=0.2, seed=0)
+        maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+        asm = prepare_elliptic_assembly(
+            mesh.cells, mesh.points, maps,
+            lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+        epart, _ = mesh_partition(mesh.cells, mesh.points, ndom,
+                                  mesh.cell_neighbors)
+        part = set_subdomains(mesh.cells, epart, maps, ndom)
+        plan = prepare_dd_assembly(mesh.cells, mesh.points, epart, part,
+                                   maps, lambda x, y: -1.0 + 0.0 * x,
+                                   lambda x, y: 0.0 * x)
+    stamp(f"host setup done: nI={part.nI_max} nG={part.nG_max} "
+          f"n_gamma={part.n_gamma}")
+
+    def readback(x, label):
+        v = float(jnp.sum(x))
+        stats = dev.memory_stats() or {}
+        stamp(f"STAGE OK: {label} (sum {v:.3e}; peak "
+              f"{stats.get('peak_bytes_in_use', 0) / 2**30:.2f} GB)")
+
+    # stage 1: ELL + refined Jacobi-PCG
+    A, b = do_isotropic_elliptic_assembly(asm, np.ones(mesh.nnode))
+    A = jax.device_put(A, dev)
+    b = jax.device_put(b, dev)
+    readback(b, "assembly")
+    from jax.tree_util import Partial
+    dinv = 1.0 / np.asarray(A.to_scipy().diagonal())
+    Mj = Partial(lambda d, r: d * r,
+                 jax.device_put(jnp.asarray(dinv, b.dtype), dev))
+    from krylov_spdes_tpu.solvers.refine import refined_pcg_sparse
+    r = refined_pcg_sparse(A, b, M=Mj, rtol=1e-7, inner_rtol=1e-5,
+                           inner_maxit=4000)
+    stamp(f"STAGE OK: refined Jacobi-PCG (it {int(r.it)}, "
+          f"certres {float(r.res_norm[0]) / float(jnp.linalg.norm(b)):.2e})")
+
+    # stage 2: block-Jacobi batched Cholesky
+    from krylov_spdes_tpu.precond.block_jacobi import (
+        prepare_block_jacobi_plan, block_jacobi_precond)
+    bj_plan = prepare_block_jacobi_plan(A, max(2, ndom))
+    Mbj = block_jacobi_precond(A, max(2, ndom), plan=bj_plan)
+    readback(Mbj(b), "block-Jacobi build+apply")
+
+    # stage 3: DD refill + Schur operator (masked products + batched chol)
+    from krylov_spdes_tpu.fem.dd import assemble_dd_values
+    from krylov_spdes_tpu.fem.schur import prepare_schur_operator
+    plan_d = jax.device_put(plan, dev)
+    blocks = assemble_dd_values(plan_d, jnp.ones((mesh.nnode,),
+                                                 plan.kflat.dtype))
+    readback(blocks[0], "DD block refill")
+    S = prepare_schur_operator(plan_d, part, *blocks[:3])
+    readback(S.A_II_L, "batched interior Cholesky")
+    readback(S(jnp.ones((part.n_gamma,), b.dtype)), "Schur matvec")
+
+    # stage 4: randomized LORASC corrections at large n_Gamma
+    from krylov_spdes_tpu.precond.dd_preconds import prepare_lorasc_precond
+    Mlo = prepare_lorasc_precond(S, part, maps,
+                                 nvec=min(25, part.n_gamma // 2 or 1),
+                                 eps_threshold=0.01, verbose=True)
+    readback(Mlo(b), "LORASC build+apply")
+
+    # stage 5: certified solves under each precond
+    for label, M in (("bj", Mbj), ("lorasc", Mlo)):
+        r = refined_pcg_sparse(A, b, M=M, rtol=1e-7, inner_rtol=1e-5,
+                               inner_maxit=4000)
+        stamp(f"STAGE OK: refined {label}-PCG (it {int(r.it)}, certres "
+              f"{float(r.res_norm[0]) / float(jnp.linalg.norm(b)):.2e})")
+    stamp("ALL STAGES OK")
+
+
+if __name__ == "__main__":
+    main()
