@@ -191,14 +191,19 @@ def prepare_dd_assembly(cells, points, epart, part: DDPartition,
     lift_i = (own_i == -2) & (own_j >= 0)            # Dirichlet-row → b_I
     lift_g = (own_i == -2) & (own_j == -1)           # Dirichlet-row → b_Γ
 
-    li = part.interior_g2l[gi]
-    lj = part.interior_g2l[gj]
-    lgj = part.gamma_to_gammad[dom, np.where(own_j == -1, part.gamma_g2l[gj], 0)]
-    lgi = part.gamma_to_gammad[dom, np.where(own_i == -1, part.gamma_g2l[gi], 0)]
+    # int64 index arithmetic: ndom*nI*nI exceeds int32 past nI ~ 11.5k
+    # (the >10k-interior envelope sizes, fem/dd_banded.py)
+    li = part.interior_g2l[gi].astype(np.int64)
+    lj = part.interior_g2l[gj].astype(np.int64)
+    lgj = part.gamma_to_gammad[
+        dom, np.where(own_j == -1, part.gamma_g2l[gj], 0)].astype(np.int64)
+    lgi = part.gamma_to_gammad[
+        dom, np.where(own_i == -1, part.gamma_g2l[gi], 0)].astype(np.int64)
+    dom64 = dom.astype(np.int64)
 
-    idx_ii = (dom * nI * nI + li * nI + lj)[ii]
-    idx_ig = (dom * nI * nG + li * nG + lgj)[ig]
-    idx_gg = (dom * nG * nG + lgi * nG + lgj)[gg]
+    idx_ii = (dom64 * nI * nI + li * nI + lj)[ii]
+    idx_ig = (dom64 * nI * nG + li * nG + lgj)[ig]
+    idx_gg = (dom64 * nG * nG + lgi * nG + lgj)[gg]
 
     sel = np.concatenate([np.nonzero(ii)[0], np.nonzero(ig)[0],
                           np.nonzero(gg)[0]])

@@ -117,5 +117,75 @@ def main():
     stamp("ALL STAGES OK")
 
 
+def realization_probe():
+    """Stage 6 (PROBE_REALIZATION=1): replicate ex06-128k's exact first-real
+    path — KL basis, MC draw, exp(g) assembly, certified refined solve under
+    the CONST median LORASC — with per-phase timing. Distinguishes a
+    long-single-dispatch worker kill from a kernel fault."""
+    import jax
+    import jax.numpy as jnp
+
+    cpu = jax.devices("cpu")[0]
+    dev = jax.devices()[0]
+    with jax.default_device(cpu):
+        from krylov_spdes_tpu.fem.mesh import get_mesh
+        from krylov_spdes_tpu.fem.bc import get_dirichlet_inds
+        from krylov_spdes_tpu.fem.assembly import (
+            prepare_elliptic_assembly, do_isotropic_elliptic_assembly)
+        from krylov_spdes_tpu.fem.partition import mesh_partition
+        from krylov_spdes_tpu.fem.dd import (set_subdomains,
+                                             prepare_dd_assembly,
+                                             assemble_dd_values)
+        mesh = get_mesh(128000, jitter=0.2, seed=0)
+        maps = get_dirichlet_inds(mesh.points, mesh.point_markers)
+        asm = prepare_elliptic_assembly(
+            mesh.cells, mesh.points, maps,
+            lambda x, y: -1.0 + 0.0 * x, lambda x, y: 0.0 * x)
+        epart, _ = mesh_partition(mesh.cells, mesh.points, 30,
+                                  mesh.cell_neighbors)
+        part = set_subdomains(mesh.cells, epart, maps, 30)
+        plan = prepare_dd_assembly(mesh.cells, mesh.points, epart, part,
+                                   maps, lambda x, y: -1.0 + 0.0 * x,
+                                   lambda x, y: 0.0 * x)
+        d = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "..", "examples", "data_protocol",
+                                 "SExp_sig21.0_L0.1_DoF128000.seed0"
+                                 ".kl50.dd.npz"))
+        lam, psi = d["lam"], d["psi"]
+    stamp("host setup + KL cache loaded")
+
+    from krylov_spdes_tpu.samplers.samplers import prepare_mc_sampler, draw
+    from krylov_spdes_tpu.fem.schur import prepare_schur_operator
+    from krylov_spdes_tpu.precond.dd_preconds import prepare_lorasc_precond
+    from krylov_spdes_tpu.solvers.refine import refined_pcg_sparse
+
+    blocks0 = assemble_dd_values(jax.device_put(plan, dev),
+                                 jnp.ones((mesh.nnode,), plan.kflat.dtype))
+    S0 = prepare_schur_operator(plan, part, *blocks0[:3])
+    M0 = prepare_lorasc_precond(S0, part, maps,
+                                nvec=min(25, part.n_gamma // 2 or 1),
+                                eps_threshold=0.01)
+    float(jnp.sum(M0(jnp.ones((maps.n_free,), plan.kflat.dtype))))
+    stamp("const median LORASC built")
+
+    smp = prepare_mc_sampler(lam, psi, key=0)
+    smp, _ = draw(smp)
+    coeff = np.exp(np.asarray(smp.g))
+    stamp(f"realization drawn: coeff range [{coeff.min():.3f}, "
+          f"{coeff.max():.3f}]")
+    A, b = do_isotropic_elliptic_assembly(asm, coeff)
+    float(jnp.sum(b))
+    stamp("realization assembled")
+    t0 = time.time()
+    r = refined_pcg_sparse(A, b, M=M0, rtol=1e-7, inner_rtol=1e-5,
+                           inner_maxit=4000)
+    stamp(f"REALIZATION SOLVE OK: it {int(r.it)}, refines {r.refines}, "
+          f"certres {float(r.res_norm[0]) / float(jnp.linalg.norm(b)):.2e}, "
+          f"{time.time() - t0:.1f}s")
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("PROBE_REALIZATION"):
+        realization_probe()
+    else:
+        main()
