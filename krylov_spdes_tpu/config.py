@@ -53,6 +53,12 @@ def enable_compilation_cache(path: str | None = None):
     machine. Called by the bench drivers and examples/common.py."""
     path = path or os.environ.get("KRYLOV_JAX_CACHE",
                                   os.path.expanduser("~/.cache/krylov_jax"))
+    if path == "off":
+        # escape hatch: isolated 128k chip runs crash the tunneled worker
+        # only when the persistent cache is on (every probe without it
+        # passes; a fresh cache dir crashes identically) — suspect executable
+        # serialization at large program sizes through the tunnel
+        return
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
