@@ -358,22 +358,18 @@ def shard_dd_assembly_plan(plan: DDAssemblyPlan, part: DDPartition,
     ndom, nI, nG = plan.ndom, plan.nI, plan.nG
     assert ndom % n_shards == 0, (ndom, n_shards)
     dpl = ndom // n_shards
-    tgt = np.asarray(plan.tgt_flat)
     kflat = np.asarray(plan.kflat)
     eflat = np.asarray(plan.eflat)
 
-    o1 = ndom * nI * nI
-    o2 = o1 + ndom * nI * nG
-    # owning dom + local offset of each contribution
-    seg_ii = tgt < o1
-    seg_ig = (tgt >= o1) & (tgt < o2)
-    seg_gg = tgt >= o2
-    dom = np.where(seg_ii, tgt // (nI * nI),
-                   np.where(seg_ig, (tgt - o1) // (nI * nG),
-                            (tgt - o2) // (nG * nG)))
-    rem = np.where(seg_ii, tgt % (nI * nI),
-                   np.where(seg_ig, (tgt - o1) % (nI * nG),
-                            (tgt - o2) % (nG * nG)))
+    # owning dom + within-block offset come straight off the plan's
+    # (tgt_dom, tgt_loc) pairs; the segment is positional (fem/dd.py layout)
+    n = kflat.shape[0]
+    dom = np.asarray(plan.tgt_dom).astype(np.int64)
+    rem = np.asarray(plan.tgt_loc).astype(np.int64)
+    seg_ii = np.zeros(n, dtype=bool)
+    seg_ii[:plan.n_ii] = True
+    seg_ig = np.zeros(n, dtype=bool)
+    seg_ig[plan.n_ii:plan.n_ii + plan.n_ig] = True
     shard = dom // dpl
     dloc = dom % dpl
     l1 = dpl * nI * nI
@@ -382,6 +378,8 @@ def shard_dd_assembly_plan(plan: DDAssemblyPlan, part: DDPartition,
                    np.where(seg_ig, l1 + dloc * nI * nG + rem,
                             l2 + dloc * nG * nG + rem))
     total_local = dpl * (nI * nI + nI * nG + nG * nG)
+    assert total_local < 2 ** 31, \
+        (total_local, "per-shard flat layout overflows int32; raise n_shards")
 
     k_rows, e_rows, t_rows = [], [], []
     for s in range(n_shards):

@@ -124,7 +124,8 @@ def set_subdomains(cells: np.ndarray, epart: np.ndarray,
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["cells", "kflat", "eflat", "tgt_flat", "bI_fac",
+         data_fields=["cells", "kflat", "eflat", "tgt_dom", "tgt_loc",
+                      "bI_fac",
                       "bI_slot", "bI_elem", "bG_fac", "bG_slot", "bG_elem",
                       "bI_fixed", "bG_fixed", "imask", "gmask", "sizes_I",
                       "sizes_G"],
@@ -133,16 +134,23 @@ def set_subdomains(cells: np.ndarray, epart: np.ndarray,
 class DDAssemblyPlan:
     """Scatter plan for batched dense DD block refill.
 
-    tgt_flat holds flattened destination indices, segmented by target:
-      [0, n_ii)           -> A_II  flat index d*nI*nI + i*nI + j
-      [n_ii, n_ii+n_ig)   -> A_IΓ  flat index d*nI*nG + i*nG + g
-      [.., +n_gg)         -> A_ΓΓd flat index d*nG*nG + gi*nG + gj
-    kflat/eflat: geometry factor and element id per contribution.
+    Destination indices are stored as (tgt_dom, tgt_loc) int32 PAIRS —
+    tgt_dom the subdomain, tgt_loc the within-block flat index — segmented
+    by target block:
+      [0, n_ii)           -> A_II  (loc = i*nI + j)
+      [n_ii, n_ii+n_ig)   -> A_IΓ  (loc = i*nG + g)
+      [.., +n_gg)         -> A_ΓΓd (loc = gi*nG + gj)
+    A single ndom-combined flat index (round-4 layout) exceeds int32 past
+    nI ≈ 11.5k and jnp canonicalizes int64 → int32 without x64, so the
+    big-envelope sizes silently wrapped negative; the pair form is
+    int32-exact to nI = 46k. kflat/eflat: geometry factor and element id
+    per contribution.
     """
     cells: jnp.ndarray
     kflat: jnp.ndarray
     eflat: jnp.ndarray
-    tgt_flat: jnp.ndarray
+    tgt_dom: jnp.ndarray
+    tgt_loc: jnp.ndarray
     bI_fac: jnp.ndarray
     bI_slot: jnp.ndarray
     bI_elem: jnp.ndarray
@@ -191,25 +199,26 @@ def prepare_dd_assembly(cells, points, epart, part: DDPartition,
     lift_i = (own_i == -2) & (own_j >= 0)            # Dirichlet-row → b_I
     lift_g = (own_i == -2) & (own_j == -1)           # Dirichlet-row → b_Γ
 
-    # int64 index arithmetic: ndom*nI*nI exceeds int32 past nI ~ 11.5k
-    # (the >10k-interior envelope sizes, fem/dd_banded.py)
+    # (dom, local-flat) int32 pairs: a single ndom-combined index would need
+    # int64 past nI ~ 11.5k, and jnp canonicalizes int64 -> int32 without
+    # x64 (silent wraparound at the >10k-interior envelope sizes)
     li = part.interior_g2l[gi].astype(np.int64)
     lj = part.interior_g2l[gj].astype(np.int64)
     lgj = part.gamma_to_gammad[
         dom, np.where(own_j == -1, part.gamma_g2l[gj], 0)].astype(np.int64)
     lgi = part.gamma_to_gammad[
         dom, np.where(own_i == -1, part.gamma_g2l[gi], 0)].astype(np.int64)
-    dom64 = dom.astype(np.int64)
+    if nI > 46340:
+        raise ValueError(f"nI={nI} overflows the int32 local index nI*nI")
 
-    idx_ii = (dom64 * nI * nI + li * nI + lj)[ii]
-    idx_ig = (dom64 * nI * nG + li * nG + lgj)[ig]
-    idx_gg = (dom64 * nG * nG + lgi * nG + lgj)[gg]
+    loc_ii = (li * nI + lj)[ii]
+    loc_ig = (li * nG + lgj)[ig]
+    loc_gg = (lgi * nG + lgj)[gg]
 
     sel = np.concatenate([np.nonzero(ii)[0], np.nonzero(ig)[0],
                           np.nonzero(gg)[0]])
-    tgt = np.concatenate([idx_ii,
-                          idx_ig + ndom * nI * nI,
-                          idx_gg + ndom * nI * nI + ndom * nI * nG])
+    tgt_dom = dom[sel].astype(np.int32)
+    tgt_loc = np.concatenate([loc_ii, loc_ig, loc_gg]).astype(np.int32)
     kflat = kgf[sel]
     eflat = eid[sel]
 
@@ -245,7 +254,8 @@ def prepare_dd_assembly(cells, points, epart, part: DDPartition,
         cells=jnp.asarray(cells),
         kflat=jnp.asarray(kflat, dtype=dtype),
         eflat=jnp.asarray(eflat.astype(np.int32)),
-        tgt_flat=jnp.asarray(tgt.astype(np.int64)),
+        tgt_dom=jnp.asarray(tgt_dom),
+        tgt_loc=jnp.asarray(tgt_loc),
         bI_fac=jnp.asarray(bI_fac, dtype=dtype),
         bI_slot=jnp.asarray(bI_slot.astype(np.int32)),
         bI_elem=jnp.asarray(bI_elem.astype(np.int32)),
@@ -259,8 +269,8 @@ def prepare_dd_assembly(cells, points, epart, part: DDPartition,
         sizes_I=jnp.asarray(part.n_interior.astype(np.int32)),
         sizes_G=jnp.asarray(part.n_gammad.astype(np.int32)),
         ndom=ndom, nI=nI, nG=nG, n_gamma=part.n_gamma,
-        n_ii=int(idx_ii.shape[0]), n_ig=int(idx_ig.shape[0]),
-        n_gg=int(idx_gg.shape[0]))
+        n_ii=int(loc_ii.shape[0]), n_ig=int(loc_ig.shape[0]),
+        n_gg=int(loc_gg.shape[0]))
 
 
 def domain_decompose_rhs(part: DDPartition, maps: DirichletMaps, b_free):
@@ -293,13 +303,16 @@ def assemble_dd_values(plan: DDAssemblyPlan, coeff_nodes):
     ndom, nI, nG = plan.ndom, plan.nI, plan.nG
     coeff_e = jnp.mean(coeff_nodes[plan.cells], axis=1)
     vals = coeff_e[plan.eflat] * plan.kflat
-    total = ndom * (nI * nI + nI * nG + nG * nG)
-    flat = jnp.zeros((total,), vals.dtype).at[plan.tgt_flat].add(vals)
-    o1 = ndom * nI * nI
-    o2 = o1 + ndom * nI * nG
-    A_II = flat[:o1].reshape(ndom, nI, nI)
-    A_IG = flat[o1:o2].reshape(ndom, nI, nG)
-    A_GGd = flat[o2:].reshape(ndom, nG, nG)
+    s1, s2 = plan.n_ii, plan.n_ii + plan.n_ig
+    A_II = jnp.zeros((ndom, nI * nI), vals.dtype).at[
+        plan.tgt_dom[:s1], plan.tgt_loc[:s1]].add(
+        vals[:s1]).reshape(ndom, nI, nI)
+    A_IG = jnp.zeros((ndom, nI * nG), vals.dtype).at[
+        plan.tgt_dom[s1:s2], plan.tgt_loc[s1:s2]].add(
+        vals[s1:s2]).reshape(ndom, nI, nG)
+    A_GGd = jnp.zeros((ndom, nG * nG), vals.dtype).at[
+        plan.tgt_dom[s2:], plan.tgt_loc[s2:]].add(
+        vals[s2:]).reshape(ndom, nG, nG)
 
     b_I = plan.bI_fixed + jnp.zeros((ndom * nI,), vals.dtype).at[
         plan.bI_slot].add(coeff_e[plan.bI_elem] * plan.bI_fac).reshape(ndom, nI)

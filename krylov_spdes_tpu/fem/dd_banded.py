@@ -215,7 +215,7 @@ def prepare_banded_dd_refill(plan: DDAssemblyPlan, part: DDPartition,
                              tables: BandedInteriorTables
                              ) -> BandedRefillPlan:
     """Re-route the ii segment of the DD scatter plan (fem/dd.py
-    prepare_dd_assembly — tgt_flat[:n_ii] encodes (d, li, lj)) through the
+    prepare_dd_assembly — (tgt_dom, tgt_loc)[:n_ii] encodes (d, li, lj)) through the
     RCM permutation into block-tridiagonal coordinates. An entry at banded
     positions (p_i, p_j) with |p_i − p_j| ≤ bandwidth ≤ m lives in block
     (bi, bj) with bj − bi ∈ {−1, 0, +1}; the symmetric scatter carries both
@@ -225,11 +225,10 @@ def prepare_banded_dd_refill(plan: DDAssemblyPlan, part: DDPartition,
     nI = plan.nI
     m, nb = tables.m, tables.nb
     ndom = plan.ndom
-    tgt = np.asarray(plan.tgt_flat[:plan.n_ii])
-    d = tgt // (nI * nI)
-    rem = tgt % (nI * nI)
-    li = rem // nI
-    lj = rem % nI
+    d = np.asarray(plan.tgt_dom[:plan.n_ii]).astype(np.int64)
+    loc = np.asarray(plan.tgt_loc[:plan.n_ii]).astype(np.int64)
+    li = loc // nI
+    lj = loc % nI
     p_i = tables.iperm[d, li].astype(np.int64)
     p_j = tables.iperm[d, lj].astype(np.int64)
     bi, ri = np.divmod(p_i, m)
@@ -276,14 +275,13 @@ def assemble_dd_values_banded(plan: DDAssemblyPlan, bplan: BandedRefillPlan,
     E = jnp.zeros((ndom * nb * m * m,), vals.dtype).at[bplan.idx_E].add(
         vals_ii[bplan.sel_E]).reshape(ndom, nb, m, m)
 
-    o1 = ndom * nI * nI
-    o2 = o1 + ndom * nI * nG
-    A_IG = jnp.zeros((ndom * nI * nG,), vals.dtype).at[
-        plan.tgt_flat[plan.n_ii:plan.n_ii + plan.n_ig] - o1].add(
-        vals[plan.n_ii:plan.n_ii + plan.n_ig]).reshape(ndom, nI, nG)
-    A_GGd = jnp.zeros((ndom * nG * nG,), vals.dtype).at[
-        plan.tgt_flat[plan.n_ii + plan.n_ig:] - o2].add(
-        vals[plan.n_ii + plan.n_ig:]).reshape(ndom, nG, nG)
+    s1, s2 = plan.n_ii, plan.n_ii + plan.n_ig
+    A_IG = jnp.zeros((ndom, nI * nG), vals.dtype).at[
+        plan.tgt_dom[s1:s2], plan.tgt_loc[s1:s2]].add(
+        vals[s1:s2]).reshape(ndom, nI, nG)
+    A_GGd = jnp.zeros((ndom, nG * nG), vals.dtype).at[
+        plan.tgt_dom[s2:], plan.tgt_loc[s2:]].add(
+        vals[s2:]).reshape(ndom, nG, nG)
 
     b_I = plan.bI_fixed + jnp.zeros((ndom * nI,), vals.dtype).at[
         plan.bI_slot].add(coeff_e[plan.bI_elem] * plan.bI_fac
