@@ -82,7 +82,10 @@ def main():
             return block_jacobi_precond(A, max(2, args.ndom), plan=bj_plan)
         if name == "lorasc":
             blocks = assemble_dd_values(plan, jnp.asarray(coeff))
-            S = prepare_schur_operator(plan, part, *blocks[:3])
+            # donate A_II into the factorization: the per-real rebuild arm
+            # at 128k otherwise peaks ~3 interior-batch copies and
+            # OOM-crashes the chip worker (fem/schur.py::factorize_interiors)
+            S = prepare_schur_operator(plan, part, *blocks[:3], donate=True)
             return prepare_lorasc_precond(
                 S, part, maps, nvec=min(25, part.n_gamma // 2 or 1),
                 eps_threshold=0.01)

@@ -77,7 +77,7 @@ def main():
         epart, part, plan = build_dd(args, mesh, maps)
         blocks0 = assemble_dd_values(plan, jnp.ones(mesh.nnode,
                                                     plan.kflat.dtype))
-        S0 = prepare_schur_operator(plan, part, *blocks0[:3])
+        S0 = prepare_schur_operator(plan, part, *blocks0[:3], donate=True)
         M0 = prepare_lorasc_precond(
             S0, part, maps, nvec=min(25, part.n_gamma // 2 or 1),
             eps_threshold=0.0 if args.precond == "lorasc0" else 0.01)

@@ -167,8 +167,27 @@ def bt_interior_solve(Linv, G, rhs):
     return x[..., 0] if squeeze else x
 
 
-def factorize_interiors(A_II, imask):
-    """Batched Cholesky of padded interiors; padding rows become identity."""
+@partial(jax.jit, donate_argnums=(0,))
+def _factorize_interiors_donated(A_II, imask):
+    ndom, nI, _ = A_II.shape
+    eye = jnp.eye(nI, dtype=A_II.dtype)
+    pad = (1.0 - imask)[:, :, None] * eye[None]
+    A = A_II * imask[:, :, None] * imask[:, None, :] + pad
+    return jnp.linalg.cholesky(A)
+
+
+def factorize_interiors(A_II, imask, donate: bool = False):
+    """Batched Cholesky of padded interiors; padding rows become identity.
+
+    donate=True aliases the A_II buffer into the factorization (the caller's
+    A_II becomes invalid). At the 128k protocol point the interior batch is
+    (30, ~4.4k, 4.4k) ≈ 2.4 GB; the eager path materializes input + masked
+    copy + factor (~7 GB transient) and the per-real LORASC-rebuild arm
+    OOM-crashed the 16 GB chip worker — donation caps the transient at one
+    extra buffer. Only donate when A_II is dead after the call (the
+    certified DD refinement keeps using it, ex07 --certify)."""
+    if donate:
+        return _factorize_interiors_donated(A_II, imask)
     ndom, nI, _ = A_II.shape
     eye = jnp.eye(nI, dtype=A_II.dtype)
     pad = (1.0 - imask)[:, :, None] * eye[None]
@@ -190,10 +209,13 @@ def interior_solve(L, rhs):
 
 
 def prepare_schur_operator(plan: DDAssemblyPlan, part: DDPartition, A_II,
-                           A_IG, A_GGd) -> SchurOperator:
+                           A_IG, A_GGd, donate: bool = False) -> SchurOperator:
+    """donate=True hands the A_II buffer to the factorization (see
+    factorize_interiors) — pass it when the raw blocks are dead after this
+    call (per-realization preconditioner rebuilds)."""
     g2g = jnp.asarray(np.maximum(part.gammad_to_gamma, 0))
     return SchurOperator(
-        A_II_L=factorize_interiors(A_II, plan.imask),
+        A_II_L=factorize_interiors(A_II, plan.imask, donate=donate),
         A_IG=A_IG * plan.imask[:, :, None] * plan.gmask[:, None, :],
         A_GGd=A_GGd * plan.gmask[:, :, None] * plan.gmask[:, None, :],
         gammad_to_gamma=g2g,

@@ -119,7 +119,12 @@ def _gamma_correction_pairs_randomized(S: SchurOperator, A_GG, ell, q, key):
 
     def bmat(X):  # X: (n, k)
         Y = jax.scipy.linalg.solve_triangular(L.T, X, lower=False)
-        SY = jax.vmap(S, in_axes=1, out_axes=1)(Y)
+        # chunk the S applies: one vmap over all ell columns materializes
+        # (ndom, nI, ell) interior transients (~2 GB x3 at 128k/ell=376) —
+        # 64-column chunks cap that at ~100 MB for the same math
+        SY = jnp.concatenate(
+            [jax.vmap(S, in_axes=1, out_axes=1)(Y[:, s:s + 64])
+             for s in range(0, Y.shape[1], 64)], axis=1)
         Z = A_GG @ Y - SY
         return jax.scipy.linalg.solve_triangular(L, Z, lower=True)
 
