@@ -112,7 +112,11 @@ def main():
             if key.startswith("samg"):
                 r = refined_pcg(Ak, bk, M=M, rtol=1e-7)
             else:
-                r = refined_pcg_sparse(Ak, bk, M=M, rtol=1e-7)
+                # sweep-level dispatches: one single-trace refinement at
+                # 128k with a weak const precond runs minutes inside one
+                # device execution and kills the tunneled worker
+                r = refined_pcg_sparse(Ak, bk, M=M, rtol=1e-7,
+                                       single_trace=False)
             certres[key][ireal] = float(
                 r.res_norm[0] / jnp.linalg.norm(bk))
             return r

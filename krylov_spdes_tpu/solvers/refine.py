@@ -121,18 +121,52 @@ def _refined_sparse_impl(A, M, b, rtol, inner_rtol, inner_maxit, max_refine):
 
 def refined_pcg_sparse(A, b, M=None, rtol: float = 1e-7,
                        inner_rtol: float = 1e-5, inner_maxit: int = 4000,
-                       max_refine: int = 8):
+                       max_refine: int = 8, single_trace: bool = True):
     """Certified-1e-7 PCG for any fixed-sparsity SparseOp (unstructured
     meshes, CSR/ELL operators). Same refinement loop as refined_pcg with the
     residual evaluated by ops/df32.ell_residual_df32 — generalizes the
-    reference tolerance (cg.jl:33-35) beyond the structured stencil path."""
+    reference tolerance (cg.jl:33-35) beyond the structured stencil path.
+
+    single_trace=False runs the refinement loop on the HOST, one jitted
+    inner solve per sweep: the single-trace program packs every sweep into
+    one device execution, which at large n with a weak preconditioner can
+    run many minutes inside ONE dispatch — long enough to kill the tunneled
+    TPU worker (the ex06-128k bj arm died before its first readback).
+    Sweep-level dispatches bound the device-side walltime at
+    inner_maxit iterations."""
     b = jnp.asarray(b)
-    xh, xl, res, k, its = _refined_sparse_impl(
-        A, as_precond_op(M), b, jnp.asarray(rtol, b.dtype),
-        jnp.asarray(inner_rtol, b.dtype), inner_maxit, max_refine)
+    Mop = as_precond_op(M)
+    if single_trace:
+        xh, xl, res, k, its = _refined_sparse_impl(
+            A, Mop, b, jnp.asarray(rtol, b.dtype),
+            jnp.asarray(inner_rtol, b.dtype), inner_maxit, max_refine)
+        res = float(res)
+        its = int(its)
+        k = int(k)
+    else:
+        from jax.tree_util import Partial
+        from ..ops.sparse import ell_spmv
+        Aop = Partial(ell_spmv, A)
+        bnorm0 = float(jnp.linalg.norm(b))
+        zero = jnp.zeros_like(b)
+        xh = zero
+        xl = zero
+        its = 0
+        res = bnorm0
+        k = 0
+        for k in range(max_refine + 1):
+            rh, rl = ell_residual_df32(A, b, zero, xh, xl)
+            res = float(jnp.linalg.norm(rh))
+            if res <= rtol * bnorm0 or k == max_refine:
+                break
+            d, it, _ = _pcg_impl(Aop, Mop, rh, zero, inner_maxit,
+                                 jnp.asarray(inner_rtol, b.dtype))
+            xh, xl = df_add(xh, xl, d, jnp.zeros_like(d))
+            its += int(it)
     bnorm = float(jnp.linalg.norm(b))
-    r = SolveResult(x=xh + xl, it=its, res_norm=jnp.stack([res]), W=None,
-                    breakdown=bool(float(res) > rtol * bnorm))
+    r = SolveResult(x=xh + xl, it=jnp.int32(its),
+                    res_norm=jnp.asarray([res]), W=None,
+                    breakdown=bool(res > rtol * bnorm))
     r.refines = int(k)
     r.x_df32 = (xh, xl)
     return r
