@@ -29,6 +29,11 @@ def main():
                         "periodic checkpoint (ndone marker); a COMPLETED "
                         "archive is extended toward --nreals (sampler "
                         "stream replayed for reproducibility)")
+    p.add_argument("--ckpt-every", type=int, default=20,
+                   help="archive-checkpoint cadence in realizations; set 1 "
+                        "for crash-attrition runs (the tunneled worker dies "
+                        "every ~10 min under the 128k DD footprint - an "
+                        "auto-restart loop then banks every completed real)")
     p.add_argument("--certify", action="store_true",
                    help="solve to the CERTIFIED reference tolerance "
                         "(1e-7, cg.jl:33-35) via df32 iterative refinement "
@@ -193,7 +198,7 @@ def main():
         print(f"real {ireal}: " + "  ".join(
             f"{s}: {iters[f'{s}_const'][ireal]}/{iters[f'{s}_rebuilt'][ireal]}"
             for s in strategies), flush=True)
-        if (ireal + 1) % 20 == 0 or ireal == args.nreals - 1:
+        if (ireal + 1) % args.ckpt_every == 0 or ireal == args.nreals - 1:
             # periodic checkpoint of the regression surface (deviation #11)
             cext = ({f"certres_{k}": v for k, v in certres.items()}
                     if certres else {})
