@@ -1,0 +1,64 @@
+"""tools/merge_ex07_ranges.py: range-partitioned worker stitching.
+
+The merge rewrites a real protocol archive, so its edge cases are tested
+against synthetic checkpoints: overlap equality gate, coverage-gap refusal,
+and the completed-form (no ndone) output."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+TOOL = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))), "tools", "merge_ex07_ranges.py")
+NAMES = ["nn_const", "nn_rebuilt", "gamma_chol"]
+
+
+def _write(path, ndone, rows, n=20, extra=None):
+    arrs = {k: np.zeros(n, dtype=np.int64) for k in NAMES}
+    for k in NAMES:
+        for i, v in rows.items():
+            arrs[k][i] = v + hash(k) % 7
+    np.savez(path, ndone=np.int64(ndone), **arrs, **(extra or {}))
+
+
+def _run(*args):
+    return subprocess.run([sys.executable, TOOL, *args],
+                          capture_output=True, text=True)
+
+
+def test_merge_completes_and_checks_overlap(tmp_path):
+    main, aux = str(tmp_path / "m.npz"), str(tmp_path / "a.npz")
+    # main covers [0, 16), aux covers [12, 20): overlap [12, 16) identical
+    _write(main, 16, {i: 100 + i for i in range(16)},
+           extra={"certified_rtol": np.float64(1e-7)})
+    _write(aux, 20, {i: 100 + i for i in range(12, 20)})
+    r = _run("--main", main, "--aux", aux, "--aux-start", "12",
+             "--target", "20")
+    assert r.returncode == 0, r.stdout + r.stderr
+    d = np.load(main)
+    assert "ndone" not in d.files            # completed form
+    assert "certified_rtol" in d.files       # non-range keys carried
+    for k in NAMES:
+        assert (d[k] != 0).all()
+
+
+def test_merge_refuses_gap_and_divergence(tmp_path):
+    main, aux = str(tmp_path / "m.npz"), str(tmp_path / "a.npz")
+    # gap: main stops at 10, aux starts at 12
+    _write(main, 10, {i: 1 for i in range(10)})
+    _write(aux, 20, {i: 1 for i in range(12, 20)})
+    r = _run("--main", main, "--aux", aux, "--aux-start", "12",
+             "--target", "20")
+    assert r.returncode != 0 and "coverage gap" in r.stderr
+
+    # divergent overlap row must refuse the merge
+    _write(main, 16, {i: 1 for i in range(16)})
+    rows = {i: 1 for i in range(12, 20)}
+    rows[14] = 999
+    _write(aux, 20, rows)
+    r = _run("--main", main, "--aux", aux, "--aux-start", "12",
+             "--target", "20")
+    assert r.returncode != 0 and "DETERMINISM" in r.stderr
+    assert (np.load(main)["nn_const"][16:] == 0).all()   # main untouched

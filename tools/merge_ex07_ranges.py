@@ -1,0 +1,85 @@
+"""Merge two range-partitioned ex07 protocol workers into one archive.
+
+The ex07 driver is serial with a single `ndone` resume marker
+(examples/ex07_pcg_schur_stochastic.py:98-119), so a long f64 protocol run
+(nreals=1000, Example07_PcgSchurStochasticEllipticPde.jl:17) parallelizes
+across host cores by RANGE-partitioning realizations: worker A extends the
+main archive [0, ndone_A); worker B runs in a scratch data dir whose
+checkpoint was pre-seeded with ndone=<aux_start>, so it fast-forwards the
+(identical, seed-cached) sampler stream through the first <aux_start> draws
+and computes [aux_start, ndone_B).
+
+This tool stitches the two when their union covers [0, target): rows claimed
+by BOTH workers must be bit-identical (the shared sampler stream makes the
+overlap a free determinism check), and the merged archive is written without
+an `ndone` marker — the completed-protocol form the resume logic expects.
+
+Usage:
+  python tools/merge_ex07_ranges.py \
+      --main examples/data_protocol/SExp_...ndom30.ex07.iters.npz \
+      --aux  examples/data_protocol_w2/SExp_...ndom30.ex07.iters.npz \
+      --aux-start 880 --target 1000
+"""
+
+import argparse
+
+import numpy as np
+
+NAMES = ["nn_const", "nn_rebuilt", "gamma_chol"]
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--main", required=True)
+    p.add_argument("--aux", required=True)
+    p.add_argument("--aux-start", type=int, required=True)
+    p.add_argument("--target", type=int, default=1000)
+    p.add_argument("--dry-run", action="store_true")
+    args = p.parse_args()
+
+    dm, da = np.load(args.main), np.load(args.aux)
+    ndone_m = int(dm["ndone"]) if "ndone" in dm.files else len(dm[NAMES[0]])
+    ndone_a = int(da["ndone"]) if "ndone" in da.files else len(da[NAMES[0]])
+    print(f"main covers [0, {ndone_m}), aux covers "
+          f"[{args.aux_start}, {ndone_a})")
+
+    lo, hi = args.aux_start, min(ndone_m, ndone_a)
+    if lo < hi:
+        for k in NAMES:
+            a, b = dm[k][lo:hi], da[k][lo:hi]
+            if not np.array_equal(a, b):
+                bad = np.nonzero(a != b)[0][:5] + lo
+                raise SystemExit(
+                    f"DETERMINISM VIOLATION in {k}: overlap rows {bad} "
+                    f"differ between workers — do not merge")
+        print(f"overlap [{lo}, {hi}) bit-identical across workers "
+              f"({hi - lo} rows x {len(NAMES)} columns)")
+
+    if ndone_m < args.aux_start:
+        raise SystemExit(
+            f"coverage gap [{ndone_m}, {args.aux_start}): main has not "
+            "reached the aux range yet — nothing to merge")
+    if ndone_a < args.target:
+        raise SystemExit(
+            f"aux incomplete: [{ndone_a}, {args.target}) missing")
+
+    merged = {}
+    for k in dm.files:
+        if k == "ndone":
+            continue
+        v = np.array(dm[k])
+        if k in NAMES:
+            v[args.aux_start:args.target] = da[k][args.aux_start:args.target]
+        merged[k] = v
+    for k in NAMES:
+        assert (merged[k][:args.target] != 0).all(), k
+    if args.dry_run:
+        print("dry run — not writing")
+        return
+    np.savez(args.main, **merged)
+    print(f"merged {args.target} realizations -> {args.main} "
+          "(complete: no ndone marker)")
+
+
+if __name__ == "__main__":
+    main()
