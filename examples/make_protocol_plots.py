@@ -197,11 +197,14 @@ def parity_report():
         srcs = {n: arm[n] for n in nds}
         claim(f"ex07 NN iterations grow with ndom ({len(nds)}-point trend)",
               all(a < b for a, b in zip(nn, nn[1:])),
-              f"nn_const means {dict(zip(nds, np.round(nn, 1)))} "
-              f"(arms {srcs})")
+              "nn_const means {"
+              + ", ".join(f"{n}: {v:.1f}" for n, v in zip(nds, nn))
+              + f"}} (arms {srcs})")
         claim("ex07 gamma-Chol stays comparatively flat",
               max(gc) / min(gc) < max(nn) / min(nn),
-              f"gamma_chol means {dict(zip(nds, np.round(gc, 1)))} — spread "
+              "gamma_chol means {"
+              + ", ".join(f"{n}: {v:.1f}" for n, v in zip(nds, gc))
+              + "} — spread "
               f"{max(gc) / min(gc):.2f}x vs NN's {max(nn) / min(nn):.2f}x")
 
     # ex07 chip arms: same preconditioner RANKING as the f64/1e-7 arm
